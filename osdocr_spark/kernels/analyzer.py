@@ -1,0 +1,214 @@
+"""Document-level layout statistics: text sizes, columns, journal areas.
+
+Re-implements the reference's histogram → pad → Whittaker-smooth →
+``find_peaks`` analysis stack (``O/ocr_tree_module/ocr_tree_analyser.py``):
+
+- :func:`get_text_sizes`   — line-height clustering (``:16-117``)
+- :func:`get_columns`      — left-margin projection column detection (``:122-241``)
+- :func:`get_journal_areas`— inverted top-margin projection header/body/footer
+  segmentation (``:248-392``)
+- :func:`analyze_text`     — the combined stats dict (``:396-441``)
+
+Histograms are ``np.bincount`` (the reference grows Python lists indexed by
+rounded value, ``:40-46,144-153,273-277`` — same result), smoothing is our
+deterministic Whittaker solve, peak finding our scipy-compatible kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geometry as g
+from .doc import Document
+from .smoothing import find_peaks, whittaker_smooth
+
+__all__ = ["get_text_sizes", "get_columns", "get_journal_areas", "analyze_text"]
+
+
+def _smooth_clip(hist: np.ndarray, lmbda: float, order: int) -> np.ndarray:
+    """Whittaker smooth then clamp negatives to 0 (``:64-66`` pattern)."""
+    sm = whittaker_smooth(hist, lmbda, order)
+    return np.where(sm > 0, sm, 0.0)
+
+
+def get_text_sizes(doc: Document, conf: int = 10) -> dict:
+    """Histogram of line mean word heights (weighted ``1 + n_words``),
+    padded 10% both sides, Whittaker(λ=1e1, order=3), peaks at prominence
+    ``0.1·max`` → ``normal_text_size`` is the highest-frequency peak; other
+    peaks become ``small_text_size_i`` / ``big_text_size_i``
+    (``ocr_tree_analyser.py:16-117``)."""
+    sizes: list[tuple[int, int]] = []  # (rounded mean line height, weight)
+    for bi in range(doc.n_blocks()):
+        if doc.block_is_empty(bi, conf=conf, only_text=True):
+            continue
+        if doc.block_is_vertical_text(bi, conf=conf):
+            continue
+        keys, lboxes, _ = doc.line_table(bi)
+        wi_all = doc.words_of(bi)
+        for li in range(len(keys)):
+            lm = (doc.w_par[wi_all] == keys[li, 0]) & (doc.w_line[wi_all] == keys[li, 1])
+            wsel = wi_all[lm & (doc.w_conf[wi_all] >= conf)]
+            if len(wsel) == 0:
+                continue
+            lmh = int(round(float(g.height(doc.w_box[wsel]).mean())))
+            nwords = sum(1 for i in wsel if doc.w_text[i].strip())
+            sizes.append((lmh, 1 + nwords))
+
+    out = {"normal_text_size": 0}
+    if not sizes:
+        return out
+    vals = np.array([s[0] for s in sizes])
+    wts = np.array([s[1] for s in sizes])
+    # reference list length ends at max(lmh)+2 before padding (``:42-43``)
+    hist = np.bincount(vals, weights=wts, minlength=int(vals.max()) + 2).astype(np.float64)
+    pad = int(round(len(hist) * 0.1))
+    hist = np.concatenate([np.zeros(pad), hist, np.zeros(pad)])
+    smooth = _smooth_clip(hist, 1e1, 3)
+    peaks, _ = find_peaks(smooth, prominence=0.1 * smooth.max() if smooth.max() > 0 else 0.0)
+    if len(peaks) == 0:
+        return out
+    freqs = smooth[peaks]
+    order_desc = np.argsort(-freqs, kind="stable")
+    normal = int(peaks[order_desc[0]])
+    out["normal_text_size"] = normal - pad
+    lower = [(int(p), f) for p, f in zip(peaks, freqs) if p < normal]
+    higher = [(int(p), f) for p, f in zip(peaks, freqs) if p > normal]
+    for i, (p, _f) in enumerate(sorted(lower, key=lambda t: -t[1])):
+        if p - pad > 0:
+            out[f"small_text_size_{i}"] = p - pad
+    for i, (p, _f) in enumerate(sorted(higher, key=lambda t: -t[1])):
+        if p - pad > 0:
+            out[f"big_text_size_{i}"] = p - pad
+    # drop non-positive normal after unpadding like the reference dict-comp (``:115``)
+    if out["normal_text_size"] <= 0:
+        del out["normal_text_size"]
+        out.setdefault("normal_text_size", 0)
+    return out
+
+
+def get_columns(doc: Document) -> list[np.ndarray]:
+    """Left-margin frequency peaks → consecutive peaks become column boxes
+    (``ocr_tree_analyser.py:122-241``).  Right margins are computed by the
+    reference but unused for output (SURVEY.md §2.4) — omitted here.
+
+    Histogram weight per non-empty block: ``1 + n_words`` at
+    ``max(round(left), 0)``; pad 10% on the right only (``:158``);
+    Whittaker(λ=2e4, order=2); peaks at prominence ``0.1·max``.
+    """
+    lefts: list[int] = []
+    wts: list[int] = []
+    for bi in range(doc.n_blocks()):
+        if doc.block_is_empty(bi):
+            continue
+        wi = doc.words_of(bi)
+        nwords = sum(1 for i in wi if doc.w_text[i].strip())
+        left = int(doc.b_box[bi, g.L])
+        lefts.append(left if left > 0 else 0)
+        wts.append(1 + nwords)
+    if not lefts:
+        return []
+    hist = np.bincount(np.array(lefts), weights=np.array(wts),
+                       minlength=max(lefts) + 1).astype(np.float64)
+    if len(hist) <= 2:
+        return []
+    pad = int(round(len(hist) * 0.1))
+    hist = np.concatenate([hist, np.zeros(pad)])
+    smooth = _smooth_clip(hist, 2e4, 2)
+    peaks, _ = find_peaks(smooth, prominence=0.1 * smooth.max() if smooth.max() > 0 else 0.0)
+    cols: list[np.ndarray] = []
+    peaks = peaks.tolist()
+    for i in range(len(peaks) - 1):
+        cols.append(g.box(peaks[i], peaks[i + 1], 0, 1))
+    return cols
+
+
+def get_journal_areas(doc: Document) -> dict:
+    """Header/body/footer bands from the *inverted* line-top projection
+    profile (``ocr_tree_analyser.py:248-392``): invert (max−f), pad, smooth
+    (λ=2e2, order=2), peaks with width≥1; body = largest run of consecutive
+    non-zero smoothed frequencies, bounds refined to the first/last peak's
+    half-height interpolated edges."""
+    tops: list[int] = []
+    wts: list[int] = []
+    for bi in range(doc.n_blocks()):
+        keys, lboxes, counts = doc.line_table(bi)
+        wi_all = doc.words_of(bi)
+        for li in range(len(keys)):
+            lm = (doc.w_par[wi_all] == keys[li, 0]) & (doc.w_line[wi_all] == keys[li, 1])
+            wsel = wi_all[lm]
+            has_text = any(doc.w_conf[i] >= 1 and doc.w_text[i].strip() for i in wsel)
+            if not has_text:
+                continue
+            nwords = sum(1 for i in wsel if doc.w_conf[i] >= 1 and doc.w_text[i].strip())
+            tops.append(int(lboxes[li, g.T]))
+            wts.append(1 + nwords)
+    areas = {"header": None, "body": None, "footer": None}
+    if not tops:
+        return areas
+    hist = np.bincount(np.array(tops), weights=np.array(wts),
+                       minlength=max(tops) + 1).astype(np.float64)
+    hist = hist.max() - hist  # invert (``:281-283``)
+    pad = int(round(len(hist) * 0.1))
+    hist = np.concatenate([hist, np.zeros(pad)])
+    smooth = _smooth_clip(hist, 2e2, 2)
+    peaks, props = find_peaks(smooth, prominence=0.1 * smooth.max() if smooth.max() > 0 else 0.0,
+                              width=1)
+    # consecutive non-zero runs (``:343-358``)
+    nz = smooth > 0
+    groups = []
+    start = None
+    for i, v in enumerate(nz):
+        if v and start is None:
+            start = i
+        elif not v and start is not None:
+            groups.append((start, i - 1))
+            start = None
+    if start is not None:
+        groups.append((start, len(nz) - 1))
+    if not groups:
+        return areas
+    body_group = max(groups, key=lambda t: t[1] - t[0])
+    first_peak = next((pi for pi, p in enumerate(peaks)
+                       if body_group[0] < p < body_group[1]), None)
+    last_peak = next((pi for pi, p in zip(range(len(peaks) - 1, -1, -1), reversed(peaks))
+                      if body_group[0] < p < body_group[1]), None)
+    body_top = int(round(props["left_ips"][first_peak])) if first_peak is not None else body_group[0]
+    body_bottom = int(round(props["right_ips"][last_peak])) if last_peak is not None else body_group[1]
+    areas["body"] = g.box(0, 0, body_top, body_bottom)
+    areas["footer"] = g.box(0, 0, body_bottom, len(smooth))
+    areas["header"] = g.box(0, 0, 0, body_top)
+    return areas
+
+
+def analyze_text(doc: Document, conf: int = 10) -> dict:
+    """Combined document stats (``ocr_tree_analyser.py:396-441``):
+    text-size peaks + columns + average adjacent-word gap within lines
+    (a lag-window shape, done as a vectorized diff) + average character
+    width (Σ word width / Σ chars)."""
+    res = dict(get_text_sizes(doc, conf=conf))
+    res["columns"] = get_columns(doc)
+
+    # average word distance: per line, successive lefts minus previous rights
+    dist_sum = 0.0
+    dist_cnt = 0
+    for bi in range(doc.n_blocks()):
+        wi = doc.words_of(bi)
+        if len(wi) == 0:
+            continue
+        key = doc.w_par[wi] * 1_000_000 + doc.w_line[wi]
+        conf_ok = doc.w_conf[wi] >= conf
+        for k in np.unique(key):
+            sel = wi[(key == k) & conf_ok]
+            if len(sel) >= 2:
+                gaps = doc.w_box[sel[1:], g.L] - doc.w_box[sel[:-1], g.R]
+                dist_sum += float(gaps.sum())
+                dist_cnt += len(gaps)
+    res["average_word_distance"] = dist_sum / dist_cnt if dist_cnt else 0.0
+
+    # average character width over all confident words
+    sel = np.nonzero(doc.w_conf >= conf)[0]
+    nchars = sum(len(doc.w_text[i]) for i in sel)
+    res["average_character_width"] = (
+        float(g.width(doc.w_box[sel]).sum()) / nchars if nchars else 0.0
+    )
+    return res

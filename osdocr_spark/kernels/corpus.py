@@ -1,0 +1,202 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Renders each ``documents`` row (``doc_id``, ``text``) into an hOCR page with
+a newspaper layout (FIXTURES.md §3): masthead nav + title + 1–3 text columns
+with optional hyphen-split line breaks + column-rule delimiters + footer.
+The layout inverts exactly: running the extraction pipeline over the
+generated page and normalizing whitespace reproduces the original document
+text byte-for-byte — that invariant is the driver's oracle
+(``oracle_sql()['extract_text']``).
+
+Every layout parameter is **pure arithmetic on** ``doc_id`` (no RNG, no
+hashing) so the DuckDB oracle can re-derive golden quantities in ANSI SQL:
+
+- body size       ``SIZES[doc_id % 4]``
+- title words     ``2 if n_words < 24 else 4``
+- columns         ``1 if n_words < 40 else 2 + doc_id % 2``
+
+Boilerplate (header/footer) words are drawn from a fixed nav vocabulary and
+wrapped in ``<a>`` anchors → link density 1.0 → stripped by
+:func:`~osdocr_spark.kernels.classify.boilerplate_mask`.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+__all__ = ["generate_page", "layout_params", "PAGE_W", "SIZES"]
+
+PAGE_W = 1240
+MARGIN = 40
+GUTTER = 20
+SIZES = (20, 24, 28, 32)
+HEADER_SIZE = 14
+HEADER_CW = 9
+LINES_PER_BLOCK = 5
+LINES_PER_PAR = 3
+MAX_HYPHEN_SPLITS = 4  # stay under fix_hifenization's faithful cap of 8
+
+_NAV = ("home", "login", "subscribe", "menu", "search", "contact",
+        "about", "privacy", "terms", "sitemap")
+
+
+def layout_params(doc_id: int, n_words: int) -> dict:
+    """Layout parameters as pure functions of (doc_id, n_words)."""
+    s = SIZES[doc_id % 4]
+    return {
+        "size": s,
+        "title_size": s * 5 // 2,
+        "char_w": s * 3 // 5,
+        "title_n": 2 if n_words < 24 else 4,
+        "n_cols": 1 if n_words < 40 else 2 + (doc_id % 2),
+    }
+
+
+def _wrap_words(words: list[str], chars_per_line: int, doc_id: int,
+                allow_hyphen: bool) -> list[list[str]]:
+    """Greedy word wrap by character count; deterministically hyphen-splits
+    a few long words across line breaks (exercises ``fix_hifenization``)."""
+    lines: list[list[str]] = []
+    cur: list[str] = []
+    cur_len = 0
+    splits = 0
+    queue = list(words)
+    wi = 0
+    while queue:
+        w = queue.pop(0)
+        add = len(w) + (1 if cur else 0)
+        if cur_len + add <= chars_per_line or not cur:
+            # hyphen split: word fits but is chosen for a deterministic split
+            if (allow_hyphen and splits < MAX_HYPHEN_SPLITS and len(w) >= 6
+                    and (doc_id * 31 + wi) % 23 == 0 and cur):
+                k = len(w) // 2
+                cur.append(w[:k] + "-")
+                lines.append(cur)
+                cur = []
+                cur_len = 0
+                queue.insert(0, w[k:])
+                splits += 1
+            else:
+                cur.append(w)
+                cur_len += add
+        else:
+            lines.append(cur)
+            cur = [w]
+            cur_len = len(w)
+        wi += 1
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+class _Emitter:
+    def __init__(self):
+        self.parts = ["<!DOCTYPE html>\n<html><body>"]
+        self.block_n = 0
+
+    def block(self, lines: list[list[str]], x0: int, y0: int, size: int,
+              char_w: int, link: bool = False, lines_per_par: int = LINES_PER_PAR,
+              conf: int = 95) -> tuple[int, int, int, int]:
+        """Emit one carea with pars/lines/words; returns the block bbox."""
+        self.block_n += 1
+        bid = self.block_n
+        pitch = size + size // 2
+        word_rows = []
+        max_r = x0
+        for li, line in enumerate(lines):
+            t = y0 + li * pitch
+            b = t + size
+            x = x0
+            row = []
+            for w in line:
+                r = x + len(w) * char_w
+                row.append((w, x, r, t, b))
+                x = r + char_w
+            max_r = max(max_r, row[-1][2] if row else x0)
+            word_rows.append(row)
+        bb = (x0, max_r, y0, y0 + (len(lines) - 1) * pitch + size)
+        out = [f"<div class='ocr_carea' id='block_1_{bid}' title='bbox {bb[0]} {bb[2]} {bb[1]} {bb[3]}'>"]
+        for li, row in enumerate(word_rows):
+            par = li // lines_per_par
+            if li % lines_per_par == 0:
+                if li:
+                    out.append("</span></p>")
+                out.append(f"<p class='ocr_par' id='par_{bid}_{par + 1}' "
+                           f"title='bbox {bb[0]} {bb[2]} {bb[1]} {bb[3]}'>")
+            elif li:
+                out.append("</span>")
+            lt = row[0][3] if row else bb[2]
+            lb = row[0][4] if row else bb[3]
+            ll = row[0][1] if row else bb[0]
+            lr = row[-1][2] if row else bb[1]
+            out.append(f"<span class='ocr_line' id='line_{bid}_{li + 1}' "
+                       f"title='bbox {ll} {lt} {lr} {lb}'>")
+            for w, x, r, t, b in row:
+                word = _html.escape(w)
+                if link:
+                    word = f"<a href='#'>{word}</a>"
+                out.append(f"<span class='ocrx_word' id='word_{bid}_{li + 1}' "
+                           f"title='bbox {x} {t} {r} {b}; x_wconf {conf}'>{word}</span>")
+        out.append("</span></p></div>")
+        self.parts.append("\n".join(out))
+        return bb
+
+    def empty_block(self, l: int, r: int, t: int, b: int):
+        """Word-less carea (rendered rule → classified 'delimiter')."""
+        self.block_n += 1
+        self.parts.append(
+            f"<div class='ocr_carea' id='block_1_{self.block_n}' "
+            f"title='bbox {l} {t} {r} {b}'></div>"
+        )
+
+    def finish(self) -> bytes:
+        self.parts.append("</body></html>")
+        return "\n".join(self.parts).encode("utf-8")
+
+
+def generate_page(doc_id: int, text: str) -> bytes:
+    """Render one document into hOCR bytes (see module docstring)."""
+    words = text.split(" ")
+    p = layout_params(doc_id, len(words))
+    s, cw = p["size"], p["char_w"]
+    em = _Emitter()
+
+    # masthead nav (boilerplate: pure links)
+    nav = [_NAV[(doc_id + i) % len(_NAV)] for i in range(3)]
+    em.block([nav], MARGIN, 10, HEADER_SIZE, HEADER_CW, link=True)
+
+    # title
+    title_words = words[: p["title_n"]]
+    body_words = words[p["title_n"]:]
+    tcw = p["title_size"] * 3 // 5
+    title_chars = (PAGE_W - 2 * MARGIN) // tcw
+    tlines = _wrap_words(title_words, title_chars, doc_id, allow_hyphen=False)
+    tb = em.block(tlines, MARGIN, 60, p["title_size"], tcw)
+
+    # body columns
+    n_cols = p["n_cols"]
+    col_w = (PAGE_W - 2 * MARGIN - (n_cols - 1) * GUTTER) // n_cols
+    chars_per_line = max(col_w // cw, 8)
+    y_body = tb[3] + 40
+    body_bottom = y_body
+    if body_words:
+        lines = _wrap_words(body_words, chars_per_line, doc_id, allow_hyphen=True)
+        blocks = [lines[i: i + LINES_PER_BLOCK] for i in range(0, len(lines), LINES_PER_BLOCK)]
+        per_col = -(-len(blocks) // n_cols)  # ceil
+        pitch = s + s // 2
+        for ci in range(n_cols):
+            x0 = MARGIN + ci * (col_w + GUTTER)
+            y = y_body
+            for blines in blocks[ci * per_col: (ci + 1) * per_col]:
+                bb = em.block(blines, x0, y, s, cw)
+                y = bb[3] + s
+                body_bottom = max(body_bottom, bb[3])
+        # column-rule delimiters
+        for ci in range(n_cols - 1):
+            xm = MARGIN + (ci + 1) * (col_w + GUTTER) - GUTTER // 2
+            em.empty_block(xm - 1, xm + 1, y_body, body_bottom)
+
+    # footer (boilerplate links)
+    foot = [_NAV[(doc_id + 5 + i) % len(_NAV)] for i in range(3)]
+    em.block([foot], MARGIN, body_bottom + 60, HEADER_SIZE, HEADER_CW, link=True)
+    return em.finish()

@@ -1,0 +1,246 @@
+"""Columnar per-document model: flat numpy word table + block table.
+
+Replaces the reference's recursive ``OCR_Tree`` (``O/ocr_tree_module/
+ocr_tree.py:20-45``; levels ``0=document … 5=word``) with the flat columnar
+layout the reference itself converts to at its hot spots (``to_dict``
+``ocr_tree.py:292-305``, histogram kernels ``ocr_tree_analyser.py:34-52``):
+document/page collapse into the row key, and blocks / paragraphs / lines /
+words become index columns over one word table per document.
+
+All predicates and aggregates mirror the ``OCR_Tree`` methods cited on each
+function; word-order is generation (pre-order) order, which the reference's
+``get_boxes_level`` DFS also yields — order is semantically load-bearing for
+text emission (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import geometry as g
+
+_WORD_CHAR = re.compile(r"[\w\d]")
+
+#: block type taxonomy (``ocr_tree_analyser.py:1202-1213``)
+BLOCK_TYPES = ("text", "title", "caption", "image", "delimiter", "highlight", "table", "other")
+
+
+@dataclass
+class Document:
+    """One parsed page.  Word arrays are aligned and in pre-order."""
+
+    url: str
+    #: (Nw, 4) int64 [left, right, top, bottom]
+    w_box: np.ndarray
+    #: (Nw,) int64 confidence 0–100, −1 sentinel (``ocr_tree.py:39``)
+    w_conf: np.ndarray
+    #: (Nw,) object — word text
+    w_text: np.ndarray
+    #: (Nw,) int64 — index into the block table
+    w_block: np.ndarray
+    #: (Nw,) int64 — paragraph number within block (level 3)
+    w_par: np.ndarray
+    #: (Nw,) int64 — line number within block (level 4)
+    w_line: np.ndarray
+    #: (Nw,) bool — word is anchor text (<a>); drives link-density boilerplate
+    #: features (new-design component per BASELINE.json north_star)
+    w_link: np.ndarray
+    #: (Nb, 4) int64 block boxes
+    b_box: np.ndarray
+    #: (Nb,) int64 block ids (``id_boxes`` pre-order semantics, ``ocr_tree.py:451-493``)
+    b_id: np.ndarray
+    #: (Nb,) object — type tag or None (pre-categorization)
+    b_type: np.ndarray
+    #: categorizer flags (``ocr_tree_analyser.py:1170-1182``); None until set
+    b_start_text: np.ndarray = field(default=None)
+    b_end_text: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        nb = len(self.b_id)
+        if self.b_start_text is None:
+            self.b_start_text = np.full(nb, None, dtype=object)
+        if self.b_end_text is None:
+            self.b_end_text = np.full(nb, None, dtype=object)
+        # per-word "contains a word character" — vectorized once, reused by
+        # every is_empty-style predicate (``ocr_tree.py:570-577``)
+        self._w_has_char = np.fromiter(
+            (bool(_WORD_CHAR.search(t)) for t in self.w_text), dtype=bool, count=len(self.w_text)
+        )
+        self._line_cache: dict = {}
+        self._words_cache: dict = {}
+
+    # ---------------------------------------------------------------- words
+    def n_blocks(self) -> int:
+        return len(self.b_id)
+
+    def words_of(self, bi: int) -> np.ndarray:
+        """Word indices of block ``bi`` in pre-order (memoized)."""
+        hit = self._words_cache.get(bi)
+        if hit is None:
+            hit = np.nonzero(self.w_block == bi)[0]
+            self._words_cache[bi] = hit
+        return hit
+
+    # ---------------------------------------------------------- block preds
+    def block_is_empty(self, bi: int, conf: int = 0, only_text: bool = False) -> bool:
+        """``OCR_Tree.is_empty`` (``ocr_tree.py:570-577``): no ``[\\w\\d]``
+        text above ``conf``.  Images are never empty unless ``only_text``."""
+        if not only_text and self.b_type[bi] == "image":
+            return False
+        wi = self.words_of(bi)
+        if len(wi) == 0:
+            return True
+        ok = (self.w_conf[wi] >= conf) & self._w_has_char[wi]
+        return not bool(ok.any())
+
+    def block_is_delimiter(self, bi: int, conf: int = 0, only_type: bool = False) -> bool:
+        """``is_delimiter`` (``ocr_tree.py:588-600``): typed, or empty with
+        ≥4:1 aspect ratio either way."""
+        if self.b_type[bi] == "delimiter":
+            return True
+        if only_type:
+            return False
+        if self.block_is_empty(bi, conf):
+            b = self.b_box[bi]
+            w = int(g.width(b))
+            h = int(g.height(b))
+            return w >= h * 4 or h >= w * 4
+        return False
+
+    def block_is_image(self, bi: int, conf: int = 0, text_size: int = 0,
+                       only_type: bool = False) -> bool:
+        """``is_image`` (``ocr_tree.py:602-611``)."""
+        if only_type:
+            return self.b_type[bi] == "image"
+        if self.b_type[bi] == "image" or (
+            self.block_is_empty(bi, conf) and not self.block_is_delimiter(bi, conf)
+        ):
+            return int(g.height(self.b_box[bi])) > text_size * 3
+        return False
+
+    # --------------------------------------------------------------- lines
+    def line_table(self, bi: int, conf: int = -1):
+        """Per-line boxes of a block: returns ``(keys, line_boxes, word_counts)``
+        where keys are (par, line) in first-appearance order.
+
+        Lines are the level-4 nodes of the reference tree; their boxes are
+        the hulls of their words (the parse stage already guarantees this,
+        matching ``text_bound_box_fix`` semantics ``ocr_tree_fix.py:211-256``).
+        Memoized per (block, conf).
+        """
+        hit = self._line_cache.get((bi, conf))
+        if hit is not None:
+            return hit
+        wi = self.words_of(bi)
+        if conf >= 0:
+            wi = wi[self.w_conf[wi] >= conf]
+        if len(wi) == 0:
+            hit = (np.empty((0, 2), np.int64), np.empty((0, 4), np.int64), np.empty(0, np.int64))
+            self._line_cache[(bi, conf)] = hit
+            return hit
+        key = self.w_par[wi] * 1_000_000 + self.w_line[wi]
+        uniq, inv = np.unique(key, return_inverse=True)
+        nb = len(uniq)
+        boxes = np.empty((nb, 4), dtype=np.int64)
+        for c, col, fn in ((g.L, 0, np.minimum), (g.R, 1, np.maximum),
+                           (g.T, 2, np.minimum), (g.B, 3, np.maximum)):
+            init = np.full(nb, np.iinfo(np.int64).max if fn is np.minimum else np.iinfo(np.int64).min)
+            fn.at(init, inv, self.w_box[wi, c])
+            boxes[:, c] = init
+        counts = np.bincount(inv, minlength=nb)
+        keys = np.stack([uniq // 1_000_000, uniq % 1_000_000], axis=1)
+        hit = (keys, boxes, counts)
+        self._line_cache[(bi, conf)] = hit
+        return hit
+
+    def block_mean_word_height(self, bi: int, conf: int = -1) -> float:
+        """``calculate_mean_height(level=5)`` (``ocr_tree.py:530-539``)."""
+        wi = self.words_of(bi)
+        if conf >= 0:
+            wi = wi[self.w_conf[wi] >= conf]
+        if len(wi) == 0:
+            return 0.0
+        return float(g.height(self.w_box[wi]).mean())
+
+    def block_char_mean_width(self, bi: int, conf: int = -1) -> float:
+        """``calculate_character_mean_width`` (``ocr_tree.py:550-559``)."""
+        wi = self.words_of(bi)
+        if conf >= 0:
+            wi = wi[self.w_conf[wi] >= conf]
+        if len(wi) == 0:
+            return 0.0
+        nchars = sum(len(self.w_text[i]) for i in wi)
+        if nchars == 0:
+            return 0.0
+        return float(g.width(self.w_box[wi]).sum()) / nchars
+
+    def block_is_text_size(self, bi: int, text_size: float, mean_height: float | None = None,
+                           rng: float = 0.3, conf: int = -1) -> bool:
+        """``is_text_size`` (``ocr_tree.py:541-548``)."""
+        mh = mean_height if mean_height else self.block_mean_word_height(bi, conf)
+        return text_size * (1 - rng) <= mh <= text_size * (1 + rng)
+
+    def block_is_vertical_text(self, bi: int, conf: int = 0) -> bool:
+        """``is_vertical_text`` (``ocr_tree.py:613-657``): one line → word
+        aspect / x-overlap vote; multi-line → y-overlap vote vs tallest."""
+        if self.block_is_empty(bi, conf, only_text=True):
+            return False
+        keys, lboxes, _ = self.line_table(bi)
+        nlines = len(keys)
+        if nlines == 0:
+            return False
+        if nlines == 1:
+            wi = self.words_of(bi)
+            wboxes = self.w_box[wi]
+            if len(wi) == 1:
+                return bool(g.height(wboxes[0]) >= g.width(wboxes[0]) * 2)
+            widest = wboxes[int(np.argmax(g.width(wboxes)))]
+            hits = g.within_horizontal(widest[None, :], wboxes, rng=0.1)
+            # reference counts every word except the widest itself
+            overlapped = int(hits.sum()) - 1
+            return overlapped / len(wi) >= 0.5
+        tallest = lboxes[int(np.argmax(g.height(lboxes)))]
+        hits = g.within_vertical(tallest[None, :], lboxes, rng=0.1)
+        overlapped = int(hits.sum()) - 1
+        return overlapped / nlines >= 0.5
+
+    # ---------------------------------------------------------------- text
+    def block_to_text(self, bi: int, conf: int = 0, text_delimiters: dict | None = None) -> str:
+        """``to_text`` (``ocr_tree.py:689-713``): each word emits
+        ``text + word_delim``; each line prefixes ``line_delim``; each
+        paragraph prefixes ``par_delim``.  Defaults ``{5:' ',4:'\\n',3:'\\n\\t'}``."""
+        wd, ld, pd = " ", "\n", "\n\t"
+        if text_delimiters:
+            wd = text_delimiters.get(5, " ")
+            ld = text_delimiters.get(4, "\n")
+            pd = text_delimiters.get(3, "\n\t")
+        wi = self.words_of(bi)
+        out: list[str] = []
+        last_par = None
+        last_line = None
+        for i in wi:
+            p = self.w_par[i]
+            ln = self.w_line[i]
+            if p != last_par:
+                out.append(pd)
+                last_par = p
+                last_line = None
+            if ln != last_line:
+                out.append(ld)
+                last_line = ln
+            if self.w_conf[i] >= conf:
+                out.append(self.w_text[i])
+                out.append(wd)
+        return "".join(out)
+
+    def blocks_in_area(self, area: np.ndarray, ignore_type: tuple = ()) -> np.ndarray:
+        """Block indices fully inside ``area`` (``get_boxes_in_area``,
+        ``ocr_tree.py:725-736``)."""
+        mask = g.is_inside(self.b_box, area[None, :])
+        if ignore_type:
+            tmask = np.fromiter((t not in ignore_type for t in self.b_type), bool, len(self.b_type))
+            mask = mask & tmask
+        return np.nonzero(mask)[0]

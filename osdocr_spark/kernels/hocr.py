@@ -1,0 +1,155 @@
+"""hOCR (XHTML) parsing and serialization.
+
+The reference ingests hOCR with a regex attribute parser and a level-driven
+stack (``O/ocr_tree_module/ocr_tree.py:131-267``; the same stack algorithm
+tree-ifies Tesseract dicts, ``O/ocr_engines/engine_utils.py:88-109``) and
+serializes trees back to hOCR (``ocr_tree.py:307-382``).  This module
+re-expresses both over the flat columnar :class:`Document`:
+
+- :func:`parse_hocr` — one compiled-regex scan over the byte stream; element
+  class → level (block=2, par=3, line=4, word=5), ``bbox``/``x_wconf`` pulled
+  from the ``title`` attribute, ``<a>`` anchors recorded per word as the
+  link-density feature.  Missing par/line parents are synthesized, matching
+  the reference's tolerance for flat hOCR.
+- :func:`to_hocr` — inverse writer (round-trip tested).
+
+Parsing is per document but one Python call handles a whole Arrow batch of
+documents upstream; inside, work is regex + list appends (no per-row Python
+at the Spark layer).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+
+from .doc import Document
+
+__all__ = ["parse_hocr", "to_hocr"]
+
+_ELEM = re.compile(
+    r"<(?:div|p|span)[^>]*?class=['\"](ocr_page|ocr_carea|ocr_par|ocr_line|ocrx_word)['\"]"
+    r"[^>]*?title=['\"]([^'\"]*)['\"][^>]*>"
+    r"(?:((?:(?!</?span).)*?)</span>)?",
+    re.DOTALL,
+)
+_BBOX = re.compile(r"bbox (-?\d+) (-?\d+) (-?\d+) (-?\d+)")
+_WCONF = re.compile(r"x_wconf (-?\d+)")
+_TAG = re.compile(r"<[^>]+>")
+
+_LEVEL = {"ocr_page": 1, "ocr_carea": 2, "ocr_par": 3, "ocr_line": 4, "ocrx_word": 5}
+
+
+def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Document:
+    """Parse hOCR bytes into a :class:`Document` (``from_hocr`` semantics,
+    ``ocr_tree.py:186-267``: bbox/x_wconf from title attrs, level from
+    element class, word text from span content)."""
+    text = data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data
+
+    w_box: list[tuple[int, int, int, int]] = []
+    w_conf: list[int] = []
+    w_text: list[str] = []
+    w_block: list[int] = []
+    w_par: list[int] = []
+    w_line: list[int] = []
+    w_link: list[bool] = []
+    b_box: list[tuple[int, int, int, int]] = []
+
+    block = -1
+    par = -1
+    line = -1
+    for m in _ELEM.finditer(text):
+        cls, title, inner = m.group(1), m.group(2), m.group(3)
+        bm = _BBOX.search(title)
+        if not bm:
+            continue
+        x0, y0, x1, y1 = (int(v) for v in bm.groups())
+        level = _LEVEL[cls]
+        if level == 1:
+            continue
+        if level == 2:
+            b_box.append((x0, x1, y0, y1))
+            block += 1
+            par = -1
+            line = -1
+        elif level == 3:
+            par += 1
+            line = -1
+        elif level == 4:
+            line += 1
+        else:  # word
+            if block < 0:  # flat hOCR: synthesize missing parents
+                b_box.append((x0, x1, y0, y1))
+                block += 1
+            cm = _WCONF.search(title)
+            conf = int(cm.group(1)) if cm else default_conf
+            raw = inner or ""
+            is_link = "<a" in raw
+            word = _html.unescape(_TAG.sub("", raw)).strip()
+            w_box.append((x0, x1, y0, y1))
+            w_conf.append(conf)
+            w_text.append(word)
+            w_block.append(block)
+            w_par.append(max(par, 0))
+            w_line.append(max(line, 0))
+            w_link.append(is_link)
+
+    nb = len(b_box)
+    return Document(
+        url=url,
+        w_box=np.array(w_box, dtype=np.int64).reshape(-1, 4),
+        w_conf=np.array(w_conf, dtype=np.int64),
+        w_text=np.array(w_text, dtype=object),
+        w_block=np.array(w_block, dtype=np.int64),
+        w_par=np.array(w_par, dtype=np.int64),
+        w_line=np.array(w_line, dtype=np.int64),
+        w_link=np.array(w_link, dtype=bool),
+        b_box=np.array(b_box, dtype=np.int64).reshape(-1, 4),
+        b_id=np.arange(nb, dtype=np.int64),
+        b_type=np.full(nb, None, dtype=object),
+    )
+
+
+def to_hocr(doc: Document, page_w: int | None = None, page_h: int | None = None) -> bytes:
+    """Serialize a :class:`Document` back to hOCR (``to_hocr``,
+    ``ocr_tree.py:307-382`` shape: page → carea → par → line → word)."""
+    if page_w is None:
+        page_w = int(doc.b_box[:, 1].max()) + 1 if doc.n_blocks() else 1
+    if page_h is None:
+        page_h = int(doc.b_box[:, 3].max()) + 1 if doc.n_blocks() else 1
+    out = [
+        "<!DOCTYPE html>\n<html><body>",
+        f"<div class='ocr_page' id='page_1' title='bbox 0 0 {page_w} {page_h}'>",
+    ]
+    for bi in range(doc.n_blocks()):
+        l, r, t, b = (int(v) for v in doc.b_box[bi])
+        out.append(f"<div class='ocr_carea' id='block_1_{bi + 1}' title='bbox {l} {t} {r} {b}'>")
+        wi = doc.words_of(bi)
+        last_par = last_line = None
+        for i in wi:
+            p, ln = int(doc.w_par[i]), int(doc.w_line[i])
+            if p != last_par:
+                if last_par is not None:
+                    out.append("</span></p>")
+                out.append(f"<p class='ocr_par' id='par_{bi + 1}_{p + 1}' title='bbox {l} {t} {r} {b}'>")
+                last_par, last_line = p, None
+            if ln != last_line:
+                if last_line is not None:
+                    out.append("</span>")
+                out.append(f"<span class='ocr_line' id='line_{bi + 1}_{ln + 1}' title='bbox {l} {t} {r} {b}'>")
+                last_line = ln
+            wl, wr, wt, wb = (int(v) for v in doc.w_box[i])
+            word = _html.escape(doc.w_text[i])
+            if doc.w_link[i]:
+                word = f"<a href='#'>{word}</a>"
+            out.append(
+                f"<span class='ocrx_word' id='word_{bi + 1}_{i + 1}' "
+                f"title='bbox {wl} {wt} {wr} {wb}; x_wconf {int(doc.w_conf[i])}'>{word}</span>"
+            )
+        if last_line is not None:
+            out.append("</span></p>")
+        out.append("</div>")
+    out.append("</div></body></html>")
+    return "\n".join(out).encode("utf-8")

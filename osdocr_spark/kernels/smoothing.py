@@ -1,0 +1,217 @@
+"""Whittaker–Eilers smoothing and 1-D peak detection, scipy-free.
+
+The reference smooths its layout histograms with the external Rust-backed
+``whittaker_eilers.WhittakerSmoother`` and finds peaks with
+``scipy.signal.find_peaks`` (``O/ocr_tree_module/ocr_tree_analyser.py:11,59-68,
+180,199,294,307``).  Neither package is available here, and pinning them would
+make determinism fragile (SURVEY.md §7.3), so both are re-implemented from
+their published definitions:
+
+- Whittaker smoothing solves ``(I + λ·Dᵈᵀ Dᵈ) z = y`` where ``Dᵈ`` is the
+  d-th order difference matrix (Eilers, *A Perfect Smoother*, Anal. Chem.
+  2003).  The system matrix is symmetric positive-definite and banded with
+  bandwidth ``d``; we factor it once per (n, λ, d) with a banded Cholesky
+  (O(n·d²)) and cache the factor, because histogram lengths repeat heavily
+  across documents of the same page geometry.
+- ``find_peaks`` follows the scipy local-maxima + prominence + width
+  definitions (plateaus resolved to their midpoint, prominence bases at the
+  nearest higher sample, widths measured at ``peak_height - prominence/2``).
+
+Everything is deterministic float64 numpy.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import comb
+
+import numpy as np
+
+__all__ = ["whittaker_smooth", "find_peaks"]
+
+
+def _difference_stencil(order: int) -> np.ndarray:
+    """Coefficients of the d-th forward difference: (-1)^k * C(d, k)."""
+    return np.array([(-1) ** k * comb(order, k) for k in range(order + 1)], dtype=np.float64)
+
+
+@lru_cache(maxsize=4096)
+def _cholesky_band(n: int, lmbda: float, order: int) -> tuple:
+    """Banded Cholesky factor of A = I + λ·DᵀD.
+
+    Returns ``bands`` shaped (order+1, n): ``bands[k][i] = L[i+k, i]``
+    (lower-triangular factor, k-th subdiagonal).  Cached: histogram lengths
+    cluster tightly across documents, so factors are reused batch-wide.
+    """
+    d = order
+    s = _difference_stencil(d)
+    # A[i, i+k] = (i == i+k) + λ * Σ_m s[m]·s[m+k] over difference rows r=i-m
+    # that exist (0 <= r <= n-d-1) and cover both columns (m+k <= d).
+    a = np.zeros((d + 1, n), dtype=np.float64)
+    for k in range(d + 1):
+        for m in range(0, d - k + 1):
+            r_lo = 0
+            # row index r = i - m must satisfy 0 <= r <= n-d-1
+            i = np.arange(n - k)
+            valid = (i - m >= r_lo) & (i - m <= n - d - 1)
+            a[k, : n - k][valid] += lmbda * s[m] * s[m + k]
+    a[0] += 1.0
+
+    # Banded Cholesky: L[i,j] for j in [i-d, i]
+    lband = np.zeros((d + 1, n), dtype=np.float64)  # lband[k][j] = L[j+k, j]
+    for j in range(n):
+        acc = a[0, j]
+        for k in range(1, min(d, j) + 1):
+            acc -= lband[k, j - k] ** 2
+        ljj = np.sqrt(acc)
+        lband[0, j] = ljj
+        for i in range(j + 1, min(j + d, n - 1) + 1):
+            acc = a[i - j, j]
+            for k in range(1, d + 1):
+                jj = j - k
+                if jj >= 0 and i - jj <= d:
+                    acc -= lband[i - jj, jj] * lband[j - jj, jj]
+            lband[i - j, j] = acc / ljj
+    return tuple(map(tuple, lband))
+
+
+def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
+    """Smooth a 1-D signal by penalized least squares (Whittaker–Eilers).
+
+    Mirrors ``WhittakerSmoother(lmbda=…, order=…).smooth(y)`` as used by the
+    reference's histogram analyses (``ocr_tree_analyser.py:59-66,170-174,
+    296-300``).
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[0]
+    if n == 0:
+        return y.copy()
+    d = int(order)
+    if n <= d:
+        return y.copy()
+    lband = np.array(_cholesky_band(n, float(lmbda), d), dtype=np.float64)
+    # Solve L w = y (forward), then Lᵀ z = w (backward).
+    w = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        acc = y[i]
+        for k in range(1, min(d, i) + 1):
+            acc -= lband[k, i - k] * w[i - k]
+        w[i] = acc / lband[0, i]
+    z = np.empty(n, dtype=np.float64)
+    for i in range(n - 1, -1, -1):
+        acc = w[i]
+        for k in range(1, min(d, n - 1 - i) + 1):
+            acc -= lband[k, i] * z[i + k]
+        z[i] = acc / lband[0, i]
+    return z
+
+
+def _local_maxima(x: np.ndarray) -> np.ndarray:
+    """Indices of local maxima; plateaus resolve to their midpoint (scipy rule)."""
+    n = x.shape[0]
+    peaks = []
+    i = 1
+    while i < n - 1:
+        if x[i - 1] < x[i]:
+            j = i
+            while j < n - 1 and x[j + 1] == x[i]:
+                j += 1
+            if j < n - 1 and x[j + 1] < x[i]:
+                peaks.append((i + j) // 2)
+                i = j + 1
+                continue
+        i += 1
+    return np.asarray(peaks, dtype=np.int64)
+
+
+def _prominences(x: np.ndarray, peaks: np.ndarray):
+    """Peak prominences + base indices per the scipy definition."""
+    n = x.shape[0]
+    prom = np.empty(len(peaks), dtype=np.float64)
+    left_bases = np.empty(len(peaks), dtype=np.int64)
+    right_bases = np.empty(len(peaks), dtype=np.int64)
+    for pi, p in enumerate(peaks):
+        h = x[p]
+        # walk left until a strictly higher sample or the boundary
+        i = p
+        left_min = h
+        left_base = p
+        while i > 0 and x[i - 1] <= h:
+            i -= 1
+            if x[i] < left_min:
+                left_min = x[i]
+                left_base = i
+        # walk right
+        i = p
+        right_min = h
+        right_base = p
+        while i < n - 1 and x[i + 1] <= h:
+            i += 1
+            if x[i] < right_min:
+                right_min = x[i]
+                right_base = i
+        prom[pi] = h - max(left_min, right_min)
+        left_bases[pi] = left_base
+        right_bases[pi] = right_base
+    return prom, left_bases, right_bases
+
+
+def find_peaks(x, prominence: float | None = None, width: float | None = None):
+    """scipy-compatible subset of ``scipy.signal.find_peaks``.
+
+    Supports the ``prominence`` and ``width`` filters the reference uses
+    (``ocr_tree_analyser.py:68,180,199,294,307``).  Returns
+    ``(peaks, properties)`` where properties contains ``prominences``,
+    ``left_bases``, ``right_bases`` and — when ``width`` is requested —
+    ``widths``, ``width_heights``, ``left_ips``, ``right_ips``
+    (measured at rel_height=0.5, the scipy default).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    peaks = _local_maxima(x)
+    props: dict[str, np.ndarray] = {}
+    if len(peaks) == 0:
+        props["prominences"] = np.array([])
+        if width is not None:
+            for k in ("widths", "width_heights", "left_ips", "right_ips"):
+                props[k] = np.array([])
+        return peaks, props
+
+    prom, lb, rb = _prominences(x, peaks)
+    if prominence is not None:
+        keep = prom >= prominence
+        peaks, prom, lb, rb = peaks[keep], prom[keep], lb[keep], rb[keep]
+    props["prominences"] = prom
+    props["left_bases"] = lb
+    props["right_bases"] = rb
+
+    if width is not None:
+        widths = np.empty(len(peaks))
+        wh = np.empty(len(peaks))
+        lips = np.empty(len(peaks))
+        rips = np.empty(len(peaks))
+        for pi, p in enumerate(peaks):
+            height = x[p] - prom[pi] * 0.5
+            wh[pi] = height
+            i = p
+            while i > lb[pi] and x[i] > height:
+                i -= 1
+            if x[i] > height:
+                lip = float(i)
+            else:
+                lip = i + (height - x[i]) / (x[i + 1] - x[i]) if x[i + 1] != x[i] else float(i)
+            i = p
+            while i < rb[pi] and x[i] > height:
+                i += 1
+            if x[i] > height:
+                rip = float(i)
+            else:
+                rip = i - (height - x[i]) / (x[i - 1] - x[i]) if x[i - 1] != x[i] else float(i)
+            lips[pi], rips[pi] = lip, rip
+            widths[pi] = rip - lip
+        keep = widths >= width
+        peaks = peaks[keep]
+        for k, v in (("prominences", prom), ("left_bases", lb), ("right_bases", rb),
+                     ("widths", widths), ("width_heights", wh),
+                     ("left_ips", lips), ("right_ips", rips)):
+            props[k] = v[keep]
+    return peaks, props
