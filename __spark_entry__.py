@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction over sf0.001: synthesize the
+Common-Crawl-shaped ``pages`` table from ``documents.parquet`` with the
+deterministic layout generator, then run the Arrow-batched layout-analysis
+extraction pipeline (parse → analyze → categorize → boilerplate strip →
+reading order → articles → text).  The invariant: extracted ``text`` per url
+is byte-identical to the whitespace-normalized source document text.
+
+``queries()`` / ``oracle_sql()`` expose the full operator surface
+(SURVEY.md §2 relational analogs + dedup / similarity-search /
+text-analysis / extraction suites); oracle-less keys are geometry-derived
+outputs the driver checks rows-only (reading order & spans are instead
+validated transitively by the byte-parity ``extract_text`` oracle).
 """
 
 from __future__ import annotations
@@ -13,26 +20,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from osdocr_spark.ops import all_oracles, all_queries
+from osdocr_spark.ops.extraction import extract_text
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return extract_text(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (plus the
+    training-data-pipeline suites).  Each callable takes (spark, sf_dir)."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (tables pre-registered as views:
+    region nation customer supplier part orders lineitem events documents
+    embeddings).  Keys absent here → driver records rows-only checks."""
+    return all_oracles()

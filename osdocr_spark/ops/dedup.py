@@ -1,0 +1,246 @@
+"""Deduplication operators over the ``documents`` table.
+
+The scale-path family the task brief requires, each as a Catalyst plan:
+
+- exact dedup            — hash-groupBy on a content key
+- MinHash + LSH          — shingle → minhash signature → band-bucket
+                           self-join (with a bucket-size cap, logged below)
+- SimHash                — md5-bit majority vote per token, 16-bit signature
+- n-gram Jaccard         — exact verification join on a doc_id-sampled subset
+- embedding near-dup     — cosine ≥ τ pairs on a sampled subset (the
+                           embedding-cosine near-dup baseline; ANN variants
+                           live in :mod:`.simsearch`)
+
+Portability discipline: every hash is ``md5`` over an explicit string (same
+bytes on Spark and DuckDB) and min/ordering is lexicographic on the hex —
+any total order over a uniform hash is a valid MinHash, and this one is
+reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+N_BANDS = 4
+BUCKET_CAP = 100  # LSH buckets larger than this are skipped (pair blowup guard)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# word-3-gram shingles, distinct per document (set semantics for Jaccard);
+# shingle positions i = 0 .. n_tokens-3 inclusive
+_SHINGLE_EXPR = """
+array_distinct(transform(
+    sequence(0, size(split(text, ' ')) - 3),
+    i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))
+"""
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    return (d.where(F.size(F.split("text", " ")) >= 3)
+            .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle")))
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         sp[i + 1] || ' ' || sp[i + 2] || ' ' || sp[i + 3] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       range(0, 10000) r(i)
+  WHERE i <= len(sp) - 3 AND len(sp) >= 3
+"""
+
+
+def d_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on the full text and on a 3-token
+    prefix key (groups with >1 member)."""
+    d = _docs(spark, sf_dir)
+    full = (d.groupBy(F.md5(F.col("text").cast("binary")).alias("key"))
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") > 1).withColumn("kind", F.lit("full")))
+    prefix = (d.groupBy(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)).alias("key"))
+              .agg(F.count("*").alias("cnt"))
+              .where(F.col("cnt") > 1).withColumn("kind", F.lit("prefix3")))
+    return full.union(prefix)
+
+
+_O_EXACT = """
+SELECT md5(text) AS key, COUNT(*) AS cnt, 'full' AS kind
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+UNION ALL
+SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS key, COUNT(*) AS cnt, 'prefix3' AS kind
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def d_minhash(spark, sf_dir):
+    """MinHash signatures: per band k, min lexicographic md5(k:shingle)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")).cast("binary"))).alias(f"sig_{k}")
+        for k in range(N_BANDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_inner() -> str:
+    sigs = ",\n         ".join(
+        f"MIN(md5('{k}:' || shingle)) AS sig_{k}" for k in range(N_BANDS))
+    return f"""
+  SELECT doc_id,
+         {sigs}
+  FROM ({_SQL_SHINGLES})
+  GROUP BY doc_id
+"""
+
+
+_O_MINHASH = f"SELECT * FROM ({_sql_minhash_inner()})"
+
+
+def d_minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs sharing a minhash in any band (bucket size
+    capped at {BUCKET_CAP}; larger buckets are degenerate shingle floods and
+    are skipped — a logged coverage bound, not silent truncation)."""
+    sig = d_minhash(spark, sf_dir)
+    bands = None
+    for k in range(N_BANDS):
+        b = sig.select("doc_id", F.lit(k).alias("band"), F.col(f"sig_{k}").alias("sig"))
+        bands = b if bands is None else bands.union(b)
+    counts = bands.groupBy("band", "sig").agg(F.count("*").alias("bs"))
+    small = bands.join(counts.where(F.col("bs") <= BUCKET_CAP), ["band", "sig"])
+    a = small.select("band", "sig", F.col("doc_id").alias("a"))
+    b = small.select("band", "sig", F.col("doc_id").alias("b"))
+    return (a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+_O_MINHASH_PAIRS = f"""
+WITH sig AS ({_sql_minhash_inner()}),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {k} AS band, sig_{k} AS sig FROM sig" for k in range(N_BANDS))}
+),
+small AS (
+  SELECT * FROM bands QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {BUCKET_CAP}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM small x JOIN small y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+"""
+
+
+def d_simhash(spark, sf_dir):
+    """16-bit SimHash: per token, bit b = parity of the b-th md5 hex digit;
+    signature bit = sign of the ±1 vote sum over the token multiset."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.md5(F.col("tok").cast("binary")).alias("h"),
+    )
+    votes = (bits.withColumn(
+        "v", F.expr("(instr('0123456789abcdef', substr(h, b + 1, 1)) - 1) % 2 * 2 - 1"))
+        .groupBy("doc_id", "b").agg(F.sum("v").alias("s")))
+    return (votes.withColumn("bitval",
+                             F.when(F.col("s") > 0,
+                                    F.pow(F.lit(2.0), F.col("b")).cast("long"))
+                             .otherwise(F.lit(0)))
+            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+
+
+_O_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+bits AS (
+  SELECT doc_id, i AS b, md5(tok) AS h FROM tok, range(0, 16) r(i)),
+votes AS (
+  SELECT doc_id, b,
+         SUM((instr('0123456789abcdef', substr(h, b + 1, 1)) - 1) % 2 * 2 - 1) AS s
+  FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def d_jaccard_sample(spark, sf_dir):
+    """Exact shingle-set Jaccard on the doc_id%20==0 sample: pairs with
+    J ≥ 0.05 (the verification stage behind MinHash candidates)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (a.join(b, "shingle").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    j = (inter.join(sa, "a").join(sb, "b")
+         .withColumn("jaccard", F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 4))
+         .where(F.col("jaccard") >= 0.05)
+         .select("a", "b", "jaccard"))
+    return j
+
+
+_O_JACCARD = f"""
+WITH sh AS (
+  SELECT * FROM ({_SQL_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id % 20 = 0")})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+           JOIN sizes sb ON inter.b = sb.doc_id
+WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.05
+"""
+
+
+def d_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs on the vec_id%10==0 sample
+    (cos ≥ 0.2, rounded 4dp; exact arithmetic notes in :mod:`.simsearch`)."""
+    from .simsearch import _cosine_pairs
+    return _cosine_pairs(spark, sf_dir, sample_mod=10, min_cos=0.2)
+
+
+_O_EMB_NEARDUP = """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM s, range(1, 65) r(i) GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         SUM(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot
+  FROM s x JOIN s y ON x.vec_id < y.vec_id, range(1, 65) r(i)
+  GROUP BY 1, 2)
+SELECT a, b, ROUND(dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 4) AS cos
+FROM dots JOIN norms na ON dots.a = na.vec_id
+          JOIN norms nb ON dots.b = nb.vec_id
+WHERE ROUND(dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 4) >= 0.2
+"""
+
+
+QUERIES = {
+    "d_exact": d_exact,
+    "d_minhash": d_minhash,
+    "d_minhash_pairs": d_minhash_pairs,
+    "d_simhash": d_simhash,
+    "d_jaccard_sample": d_jaccard_sample,
+    "d_embedding_neardup": d_embedding_neardup,
+}
+
+ORACLES = {
+    "d_exact": _O_EXACT,
+    "d_minhash": _O_MINHASH,
+    "d_minhash_pairs": _O_MINHASH_PAIRS,
+    "d_simhash": _O_SIMHASH,
+    "d_jaccard_sample": _O_JACCARD,
+    "d_embedding_neardup": _O_EMB_NEARDUP,
+}

@@ -1,0 +1,114 @@
+"""Extraction-pipeline queries (the engine's flagship surface).
+
+Each query synthesizes the Common-Crawl-shaped ``pages`` table from the
+driver's ``documents`` parquet (deterministic arithmetic layout, see
+:mod:`osdocr_spark.kernels.corpus`) and runs the Arrow-batched extraction
+stages.  The headline oracle: **extracted text per url is byte-identical to
+the whitespace-normalized source document text** — expressible in ANSI SQL
+because the generator is its own inverse.
+
+Geometry-derived outputs (reading order, spans, block features) depend on
+line-wrapping arithmetic no SQL can replicate; those queries carry no
+oracle and get the driver's rows-only check (noted per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..spark.jobs import load_pages
+from ..spark.stages import URL_DOMAINS, blocks_from_pages, extract_pages
+
+__all__ = ["QUERIES", "ORACLES"]
+
+_URL_SQL = f"'https://news-' || CAST(doc_id % {URL_DOMAINS} AS VARCHAR) || '.example.com/a/' || CAST(doc_id AS VARCHAR)"
+
+
+def extract_text(spark, sf_dir):
+    """Flagship: per-url byte-identical extracted main text."""
+    return extract_pages(load_pages(spark, sf_dir)).select("url", "text")
+
+
+_O_TEXT = f"""
+SELECT {_URL_SQL} AS url,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+FROM documents
+"""
+
+
+def extract_stats(spark, sf_dir):
+    """Layout stats with arithmetic oracles: detected normal text size must
+    equal the generator's size class; article isolation must yield exactly
+    one article per page."""
+    return (extract_pages(load_pages(spark, sf_dir))
+            .select("url", "normal_text_size", "n_articles"))
+
+
+_O_STATS = f"""
+SELECT {_URL_SQL} AS url,
+       CAST(CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 20 WHEN 1 THEN 24 WHEN 2 THEN 28 ELSE 32 END AS INT)
+         AS normal_text_size,
+       1 AS n_articles
+FROM documents
+"""
+
+
+def extract_reading_order(spark, sf_dir):
+    """Reading order as (url, order_idx, block_id) rows.  Rows-only check:
+    order depends on line-wrap geometry (validated against the byte-parity
+    text oracle instead — wrong order ⇒ wrong bytes in extract_text)."""
+    ex = extract_pages(load_pages(spark, sf_dir))
+    return ex.select("url", F.posexplode("reading_order").alias("order_idx", "block_id"))
+
+
+def extract_spans(spark, sf_dir):
+    """Per-block character spans over the normalized text (rows-only)."""
+    ex = extract_pages(load_pages(spark, sf_dir))
+    return (ex.select("url", F.explode("spans").alias("s"))
+            .select("url", F.col("s.block_id").alias("block_id"),
+                    F.col("s.start").alias("start"), F.col("s.end").alias("end")))
+
+
+def extract_blocks(spark, sf_dir):
+    """The parsed+typed ``blocks`` intermediate table (rows-only): geometry,
+    link density, and the reference type taxonomy per block."""
+    return blocks_from_pages(load_pages(spark, sf_dir))
+
+
+def extract_boilerplate_stats(spark, sf_dir):
+    """Boilerplate accounting per page: generated pages carry exactly two
+    pure-link blocks (masthead + footer) — an arithmetic oracle over the
+    blocks table's link densities."""
+    b = blocks_from_pages(load_pages(spark, sf_dir))
+    return (b.groupBy("url").agg(
+        F.sum(F.when(F.col("link_density") > 0.5, 1).otherwise(0)).cast("int")
+        .alias("n_boilerplate"),
+        F.sum(F.when(F.col("type") == "delimiter", 1).otherwise(0)).cast("int")
+        .alias("n_delimiters"),
+    ))
+
+
+_O_BOILER = f"""
+SELECT {_URL_SQL} AS url,
+       2 AS n_boilerplate,
+       CAST(CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+                 ELSE 1 + CAST(doc_id % 2 AS INT) END AS INT) AS n_delimiters
+FROM documents
+"""
+
+
+QUERIES = {
+    "extract_text": extract_text,
+    "extract_stats": extract_stats,
+    "extract_reading_order": extract_reading_order,
+    "extract_spans": extract_spans,
+    "extract_blocks": extract_blocks,
+    "extract_boilerplate_stats": extract_boilerplate_stats,
+}
+
+ORACLES = {
+    "extract_text": _O_TEXT,
+    "extract_stats": _O_STATS,
+    "extract_boilerplate_stats": _O_BOILER,
+}

@@ -1,0 +1,401 @@
+"""Core relational operators over the TPC-H-ish tables.
+
+Each query demonstrates one operator family from SURVEY.md §2 at table
+scale, Catalyst-planned (filters push into the parquet scan, small sides
+broadcast, aggregates partial+final).  Scale notes per query docstring.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col: str, prec: str = "decimal(18,4)"):
+    return F.col(col).cast(prec)
+
+
+# --------------------------------------------------------------------------
+# filters / projections (§2.2 — predicate select analogs; pushdown-checked)
+def q_filter_project(spark, sf_dir):
+    """Predicate + projection pushdown: both reach the parquet scan
+    (`PushedFilters`/`ReadSchema` in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+                 & (F.col("l_quantity") >= 45))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+_O_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  AND l_quantity >= 45
+"""
+
+
+# --------------------------------------------------------------------------
+# aggregation (§2.4 — conf_sum / mean-height analogs; TPC-H Q1 shape)
+def q_agg_pricing(spark, sf_dir):
+    """Partial+final aggregation with exact decimal arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                          * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))),
+                    4).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_O_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# join + group + top-k (§2.3/§2.6 — TPC-H Q3 shape; deterministic top-k)
+def q_join_topk(spark, sf_dir):
+    """3-way join (dimension sides broadcast by AQE at this scale, sort-merge
+    at 100 TB), aggregate, deterministic top-10 via full tie-break."""
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))),
+                     4).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (rev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+            .select("o_orderkey", "revenue"))
+
+
+_O_JOIN_TOPK = """
+WITH rev AS (
+  SELECT o_orderkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey)
+SELECT o_orderkey, revenue FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rn FROM rev)
+WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# broadcast join (§2.3 — small dim explicitly broadcast)
+def q_broadcast_join(spark, sf_dir):
+    pa = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_O_BCAST = """
+SELECT p_brand,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# semi / anti joins (§2.3 — the boxes_directly_* semi+anti analogs)
+def q_semi_join(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    active = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+    return (active.join(F.broadcast(na), active.c_nationkey == na.n_nationkey)
+            .groupBy("n_name").agg(F.count("*").alias("n_customers")))
+
+
+_O_SEMI = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    na = _t(spark, sf_dir, "nation")
+    inactive = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+    return (inactive.join(F.broadcast(na), inactive.c_nationkey == na.n_nationkey)
+            .groupBy("n_name").agg(F.count("*").alias("n_customers")))
+
+
+_O_ANTI = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# range / interval join (§2.3 — the interval-overlap theta-join analog of
+# Box.intersects_box, expressed relationally)
+def q_range_join(spark, sf_dir):
+    """Theta-join on a date interval; both sides pre-filtered so the
+    quadratic blowup is bounded (the kernel-side equivalent is the per-doc
+    strip intersection)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") == 50)
+    od = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    j = li.join(od, (od.o_orderdate <= li.l_shipdate)
+                & (od.o_orderdate >= F.date_sub(li.l_shipdate, 90)))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+_O_RANGE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM (SELECT * FROM lineitem WHERE l_quantity = 50) l
+JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON o.o_orderdate <= l.l_shipdate AND o.o_orderdate >= l.l_shipdate - INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# window functions (§2.5 — adjacent-word-gap lag analog)
+def q_window_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("prev_value", F.lag("value").over(w))
+    return (
+        gaps.where(F.col("prev_value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.sum((F.col("value") - F.col("prev_value")).cast("decimal(18,4)")), 4)
+             .cast("double").alias("sum_gap"),
+             F.count("*").alias("n_gaps"))
+    )
+
+
+_O_LAG = """
+WITH g AS (
+  SELECT event_type, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events)
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(value - prev_value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_gap,
+       COUNT(*) AS n_gaps
+FROM g WHERE prev_value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_window_topk(spark, sf_dir):
+    """rank-1-by-custom-order analog of next_top_block (§2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+            .select("user_id", "event_id", "value", "rn"))
+
+
+_O_WTOPK = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rn
+  FROM events)
+WHERE rn <= 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: lag + conditional cumsum (stateful-window
+    shape; batch analog of a streaming session window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (ev.withColumn("prev_ts", F.lag("ts").over(w))
+         .withColumn("new_session",
+                     (F.col("prev_ts").isNull()
+                      | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 1800 SECOND")))
+                     .cast("int"))
+         .withColumn("session_id", F.sum("new_session").over(
+             Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))))
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"))
+
+
+_O_SESS = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM t GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct & set operations (§2.7)
+def q_distinct_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"))
+
+
+_O_DISTINCT = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """Union/intersect/except over nation-key sets (visited/non-visited set
+    difference analog, §2.7)."""
+    cu = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    su = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    u = cu.union(su).distinct().withColumn("op", F.lit("union"))
+    i = cu.intersect(su).withColumn("op", F.lit("intersect"))
+    e = cu.subtract(su).withColumn("op", F.lit("except"))
+    return u.union(i).union(e)
+
+
+_O_SETOPS = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT nk, 'union' AS op FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+UNION ALL SELECT nk, 'intersect' AS op FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+UNION ALL SELECT nk, 'except' AS op FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+"""
+
+
+# --------------------------------------------------------------------------
+# sorts / global top-k (§2.6) and histogram (§2.4 bincount analog)
+def q_topk_global(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return (li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+_O_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+WHERE rn <= 20
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """np.bincount analog: frequency per rounded value bucket (the analyzer
+    histograms of ocr_tree_analyser.py:34-52 at relational scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.round("l_quantity", 0).cast("long").alias("bucket"))
+            .agg(F.count("*").alias("freq")))
+
+
+_O_HIST = """
+SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS bucket, COUNT(*) AS freq
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """Grouping-sets/rollup (Catalyst built-in noted absent in the
+    reference, SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "sum_qty")
+    )
+
+
+_O_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+QUERIES = {
+    "q_filter_project": q_filter_project,
+    "q_agg_pricing": q_agg_pricing,
+    "q_join_topk": q_join_topk,
+    "q_broadcast_join": q_broadcast_join,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_range_join": q_range_join,
+    "q_window_lag": q_window_lag,
+    "q_window_topk": q_window_topk,
+    "q_sessionize": q_sessionize,
+    "q_distinct_agg": q_distinct_agg,
+    "q_set_ops": q_set_ops,
+    "q_topk_global": q_topk_global,
+    "q_histogram": q_histogram,
+    "q_rollup": q_rollup,
+}
+
+ORACLES = {
+    "q_filter_project": _O_FILTER,
+    "q_agg_pricing": _O_AGG,
+    "q_join_topk": _O_JOIN_TOPK,
+    "q_broadcast_join": _O_BCAST,
+    "q_semi_join": _O_SEMI,
+    "q_anti_join": _O_ANTI,
+    "q_range_join": _O_RANGE,
+    "q_window_lag": _O_LAG,
+    "q_window_topk": _O_WTOPK,
+    "q_sessionize": _O_SESS,
+    "q_distinct_agg": _O_DISTINCT,
+    "q_set_ops": _O_SETOPS,
+    "q_topk_global": _O_TOPK,
+    "q_histogram": _O_HIST,
+    "q_rollup": _O_ROLLUP,
+}

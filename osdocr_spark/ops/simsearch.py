@@ -1,0 +1,176 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d).
+
+- :func:`s_ann_bruteforce` — exact cosine top-k for a query sample: the
+  correctness baseline.  Broadcast the (small) query side; the candidate
+  scan stays a single pass.
+- :func:`s_lsh_buckets` / :func:`s_ann_lsh` — sign-bit LSH bucketing (the
+  scale path: at 10^12 rows the bucket join touches ~1/2^8 of the candidate
+  pairs; brute force is a full cross product).
+
+Numeric discipline: elements are cast float→double *before* any arithmetic
+on both engines (exact widening), dot products and norms are double sums,
+and scores are rounded to 4dp with vec_id tie-breaks — so Spark/DuckDB
+summation-order differences (≈1e-15) cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+DIM = 64
+TOPK = 5
+N_PLANES = 8  # sign bits → 256 buckets
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_DOT = """
+aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+"""
+_NORM = """
+aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+"""
+
+
+def _with_cos(joined: DataFrame) -> DataFrame:
+    """cos = dot(a,b) / (sqrt(|a|)·sqrt(|b|)), rounded 4dp."""
+    return joined.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT)
+            / (F.sqrt(F.expr(_NORM.format(col="a"))) * F.sqrt(F.expr(_NORM.format(col="b")))),
+            4,
+        ),
+    )
+
+
+def _cosine_pairs(spark, sf_dir, sample_mod: int, min_cos: float) -> DataFrame:
+    e = _emb(spark, sf_dir).where(F.col("vec_id") % sample_mod == 0)
+    x = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a"))
+    y = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b"))
+    j = x.join(y, F.col("a_id") < F.col("b_id"))
+    return (_with_cos(j).where(F.col("cos") >= min_cos)
+            .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"), "cos"))
+
+
+def s_ann_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for the vec_id%50==0 query sample
+    (queries broadcast; full scan over candidates)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("a"))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("b"))
+    j = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+    scored = _with_cos(j)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOPK)
+            .select("q_id", "c_id", "cos", "rn"))
+
+
+_O_BRUTE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS a FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, embedding AS b FROM embeddings),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM embeddings, range(1, {DIM + 1}) r(i) GROUP BY vec_id),
+dots AS (
+  SELECT q_id, c_id, SUM(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)) AS dot
+  FROM q JOIN c ON q_id <> c_id, range(1, {DIM + 1}) r(i)
+  GROUP BY q_id, c_id),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 4) AS cos
+  FROM dots JOIN norms nq ON q_id = nq.vec_id JOIN norms nc ON c_id = nc.vec_id)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rn
+  FROM scored)
+WHERE rn <= {TOPK}
+"""
+
+
+def _bucket_expr(col: str, engine: str = "duckdb") -> str:
+    """Sign-bit LSH bucket id from the first N_PLANES dimensions.
+
+    NB: Spark's ``a[i]`` subscript is 0-based while DuckDB's is 1-based —
+    Spark uses ``element_at`` (1-based in both semantics)."""
+    if engine == "spark":
+        elem = "element_at({col}, {i})"
+    else:
+        elem = "{col}[{i}]"
+    bits = " + ".join(
+        "(CASE WHEN CAST(" + elem.format(col=col, i=j + 1)
+        + f" AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+def s_lsh_buckets(spark, sf_dir):
+    """Bucket histogram: how the sign-bit LSH partitions the corpus."""
+    e = _emb(spark, sf_dir)
+    return (e.withColumn("bucket", F.expr(_bucket_expr("embedding", "spark")))
+            .groupBy("bucket").agg(F.count("*").alias("n_vectors")))
+
+
+_O_LSH_BUCKETS = f"""
+SELECT {_bucket_expr("embedding")} AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def s_ann_lsh(spark, sf_dir):
+    """LSH-restricted ANN: top-3 cosine neighbors *within the same sign-bit
+    bucket* for the vec_id%50==0 queries — the scale path (candidate set
+    shrinks ~2^{N_PLANES}×; recall traded for a bounded join)."""
+    e = _emb(spark, sf_dir).withColumn("bucket", F.expr(_bucket_expr("embedding", "spark")))
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("a"), "bucket")
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("b"), "bucket")
+    j = c.join(F.broadcast(q), ["bucket"]).where(F.col("q_id") != F.col("c_id"))
+    scored = _with_cos(j)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+            .select("q_id", "c_id", "cos", "rn"))
+
+
+_O_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_expr("embedding")} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS a, bucket FROM e WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, embedding AS b, bucket FROM e),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM embeddings, range(1, {DIM + 1}) r(i) GROUP BY vec_id),
+dots AS (
+  SELECT q_id, c_id, SUM(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)) AS dot
+  FROM q JOIN c USING (bucket), range(1, {DIM + 1}) r(i)
+  WHERE q_id <> c_id
+  GROUP BY q_id, c_id),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 4) AS cos
+  FROM dots JOIN norms nq ON q_id = nq.vec_id JOIN norms nc ON c_id = nc.vec_id)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rn
+  FROM scored)
+WHERE rn <= 3
+"""
+
+
+QUERIES = {
+    "s_ann_bruteforce": s_ann_bruteforce,
+    "s_lsh_buckets": s_lsh_buckets,
+    "s_ann_lsh": s_ann_lsh,
+}
+
+ORACLES = {
+    "s_ann_bruteforce": _O_BRUTE,
+    "s_lsh_buckets": _O_LSH_BUCKETS,
+    "s_ann_lsh": _O_ANN_LSH,
+}

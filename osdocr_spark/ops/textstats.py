@@ -1,0 +1,194 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline components (task brief): quality scoring, token
+counting, language-marker scoring, and fingerprinting — all expressed with
+built-in JVM-side functions (no Python in the hot path), each with an exact
+DuckDB oracle.  These mirror the reference's validation-text cleaning and
+stats shapes (``O/validation/calibrate.py:129-187``, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "ORACLES"]
+
+STOPWORDS = ("the", "a")
+EN_MARKERS = ("the", "a", "fast", "slow")
+DATA_MARKERS = ("table", "row", "column")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def t_token_count(spark, sf_dir):
+    """Whitespace tokens + regex word tokens + a BPE-ish length/4 estimate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("n_word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+    )
+
+
+_O_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_word_tokens,
+       CAST(CEIL(strlen(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+def t_quality(spark, sf_dir):
+    """Boilerpipe-style quality features: length, stopword ratio, mean word
+    length, and a blended score (rounded 4dp on both engines)."""
+    d = _docs(spark, sf_dir)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({stop_list}))"))
+    mean_wlen = (F.length("text") - (n_tok - 1)) / n_tok
+    stop_ratio = n_stop / n_tok
+    score = F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5 + (1.0 - stop_ratio) * 0.5
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+_O_QUALITY = """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       ROUND(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+       ROUND((strlen(text) - (len(string_split(text, ' ')) - 1))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len,
+       ROUND(LEAST(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+             + (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5, 4) AS quality
+FROM documents
+"""
+
+
+def t_lang_score(spark, sf_dir):
+    """Marker-list language-ID scoring (n-gram-heuristic shape; the corpus
+    vocabulary is language-neutral, so scores — not accuracy — are the
+    contract)."""
+    d = _docs(spark, sf_dir)
+    en = ", ".join(f"'{s}'" for s in EN_MARKERS)
+    da = ", ".join(f"'{s}'" for s in DATA_MARKERS)
+    en_n = F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({en}))"))
+    da_n = F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({da}))"))
+    return d.select(
+        "doc_id", "lang",
+        en_n.alias("en_markers"),
+        da_n.alias("data_markers"),
+        F.when(en_n > da_n, "en").when(da_n > en_n, "data").otherwise("und")
+        .alias("predicted"),
+    )
+
+
+_O_LANG = """
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','fast','slow'))) AS INT) AS en_markers,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('table','row','column'))) AS INT) AS data_markers,
+       CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the','a','fast','slow')))
+                 > len(list_filter(string_split(text, ' '), x -> x IN ('table','row','column'))) THEN 'en'
+            WHEN len(list_filter(string_split(text, ' '), x -> x IN ('table','row','column')))
+                 > len(list_filter(string_split(text, ' '), x -> x IN ('the','a','fast','slow'))) THEN 'data'
+            ELSE 'und' END AS predicted
+FROM documents
+"""
+
+
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprints: full-text md5 + 64-char-prefix md5 (the
+    cheap exact-dup keys; rolling-hash winnowing lives in the dedup module)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_full"),
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("fp_prefix"),
+    )
+
+
+_O_FP = """
+SELECT doc_id, md5(text) AS fp_full, md5(substr(text, 1, 64)) AS fp_prefix
+FROM documents
+"""
+
+
+def t_clean_text(spark, sf_dir):
+    """Validation-style text cleaning (lowercase, strip punctuation,
+    collapse whitespace — ``calibrate.py:129-132,145-148``)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                                " +", " ")).alias("clean"),
+    )
+
+
+_O_CLEAN = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS clean
+FROM documents
+"""
+
+
+def m_media_meta(spark, sf_dir):
+    """Multimodal-column stub: documents' utf-8 bytes as an opaque binary
+    payload; a deterministic fake "decode" derives typed metadata.  The real
+    image/audio decode is intentionally stubbed (libs absent) — the Spark
+    plumbing (binary column, JVM-side metadata, batch shape) is real."""
+    d = _docs(spark, sf_dir)
+    payload = F.encode("text", "utf-8")
+    n = F.octet_length(payload)
+    return d.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        (n % 640).cast("int").alias("fake_width"),
+        (n % 480).cast("int").alias("fake_height"),
+        F.lit(3).alias("fake_channels"),
+    )
+
+
+_O_MEDIA = """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(strlen(text) % 640 AS INT) AS fake_width,
+       CAST(strlen(text) % 480 AS INT) AS fake_height,
+       3 AS fake_channels
+FROM documents
+"""
+
+
+QUERIES = {
+    "t_token_count": t_token_count,
+    "t_quality": t_quality,
+    "t_lang_score": t_lang_score,
+    "t_fingerprint": t_fingerprint,
+    "t_clean_text": t_clean_text,
+    "m_media_meta": m_media_meta,
+}
+
+ORACLES = {
+    "t_token_count": _O_TOKENS,
+    "t_quality": _O_QUALITY,
+    "t_lang_score": _O_LANG,
+    "t_fingerprint": _O_FP,
+    "t_clean_text": _O_CLEAN,
+    "m_media_meta": _O_MEDIA,
+}

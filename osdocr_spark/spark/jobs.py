@@ -1,0 +1,86 @@
+"""End-to-end extraction job: skew-safe partitioning, lineage metrics,
+checkpoint/resume.
+
+Scale design (BASELINE.json north_rule, SURVEY.md §4.2), exercised here on
+local parquet and mapped 1:1 onto Iceberg for a real cluster:
+
+- **partitioning / skew** — one salted repartition up front
+  (:func:`salted_repartition`); after that every stage is narrow and
+  embarrassingly parallel per url.
+- **lineage + metrics** — the extraction stage stamps each output row with
+  its task partition id; :func:`run_extract_job` aggregates a per-partition
+  ``metrics`` table (url count, word count, byte count) in the same pass.
+  On Iceberg this table is appended per snapshot commit.
+- **checkpoint / resume** — the output table is the checkpoint: on restart
+  the job anti-joins already-committed urls and processes only the
+  remainder (`resume=True`).  With Iceberg this is "read the last committed
+  snapshot"; on plain parquet we read the directory if present.  The write
+  itself is atomic per task file; a torn job re-runs only missing urls.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .stages import extract_pages, pages_from_documents, salted_repartition
+
+__all__ = ["run_extract_job", "load_pages"]
+
+
+def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = None,
+               salt: int = 0) -> DataFrame:
+    """Synthesize the Common-Crawl-shaped ``pages`` table from the driver's
+    ``documents`` parquet (no external data), salted-repartitioned for the
+    per-document kernels."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if num_partitions:
+        docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
+    return pages_from_documents(docs)
+
+
+def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,
+                    num_partitions: int | None = None, resume: bool = True) -> dict:
+    """Extract every page; write ``extracted`` + per-partition ``metrics``
+    parquet tables under ``out_dir``.  Returns summary counters.
+
+    Resume semantics: if ``out_dir/extracted`` exists and ``resume``, urls
+    already present are skipped via a broadcast-friendly left-anti join on
+    the committed checkpoint (Iceberg: the last committed snapshot).
+    """
+    pages = load_pages(spark, sf_dir, num_partitions=num_partitions)
+    extracted_path = os.path.join(out_dir, "extracted")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    done_urls = None
+    if resume and os.path.isdir(extracted_path):
+        try:
+            done_urls = spark.read.parquet(extracted_path).select("url").distinct()
+        except Exception:
+            done_urls = None
+    if done_urls is not None:
+        pages = pages.join(done_urls, on="url", how="left_anti")
+
+    extracted = extract_pages(pages)
+    mode = "append" if done_urls is not None else "overwrite"
+    extracted.write.mode(mode).parquet(extracted_path)
+
+    result = spark.read.parquet(extracted_path)
+    metrics = (
+        result.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("url_count"),
+            F.sum("n_words").alias("word_count"),
+            F.sum(F.length("text")).alias("char_count"),
+            F.sum("n_articles").alias("article_count"),
+        )
+    )
+    metrics.write.mode("overwrite").parquet(metrics_path)
+    summary = result.agg(
+        F.count("*").alias("urls"),
+        F.sum("n_words").alias("words"),
+    ).collect()[0]
+    return {"urls": int(summary["urls"]), "words": int(summary["words"]),
+            "extracted_path": extracted_path, "metrics_path": metrics_path}

@@ -1,0 +1,42 @@
+"""SparkSession builder with the scale-oriented defaults this engine assumes.
+
+Tuned for the 100 TB design point (SURVEY.md §4.2) while testing on
+``local[N]``: AQE on (runtime re-planning + skew-join mitigation), Arrow
+transfer on for every pandas stage, and modest Arrow batch sizes so a single
+multi-MB page cannot stall a Python worker (domain-skew note, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(app: str = "osdocr-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def stop_spark():
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
