@@ -134,35 +134,29 @@ def next_top_block(doc: Document, cand: list[int], origin: tuple[float, float] =
     bb = doc.b_box
     arr = np.array(cand, dtype=np.int64)
 
-    # --- top route
+    # --- top route (pair loops vectorized; candidate order — top_blocks
+    # first, then arr order — preserved so first-minimum tie-breaks match
+    # the reference's stable sorts)
     tops = bb[arr, g.T]
     min_top = tops.min()
     top_blocks = arr[tops == min_top]
-    pot = list(top_blocks)
-    for b in arr:
-        for tbk in top_blocks:
-            if g.within_vertical(bb[b], bb[tbk], rng=0.05):
-                pot.append(b)
-    pot_arr = np.array(pot, dtype=np.int64)
+    band = g.within_vertical(bb[arr][:, None, :], bb[top_blocks][None, :, :], rng=0.05).any(axis=1)
+    pot_arr = np.concatenate([top_blocks, arr[band]])
     lefts = bb[pot_arr, g.L]
     leftmost = int(pot_arr[int(np.argmin(lefts))])  # stable: first minimum
-    pot2 = [int(b) for b in arr if g.within_horizontal(bb[b], bb[leftmost], rng=0.05)]
+    band2 = g.within_horizontal(bb[arr], bb[leftmost][None, :], rng=0.05)
     potential_top = None
-    if pot2:
-        p2 = np.array(pot2, dtype=np.int64)
+    if band2.any():
+        p2 = arr[band2]
         potential_top = int(p2[int(np.argmin(bb[p2, g.T]))])
 
     # --- left route
     min_left = bb[arr, g.L].min()
     leftmost_blocks = arr[bb[arr, g.L] == min_left]
-    pot3: list[int] = []
-    for b in arr:
-        for lbk in leftmost_blocks:
-            if g.within_horizontal(bb[b], bb[lbk], rng=0.05):
-                pot3.append(int(b))
+    band3 = g.within_horizontal(bb[arr][:, None, :], bb[leftmost_blocks][None, :, :], rng=0.05).any(axis=1)
     potential_left = None
-    if pot3:
-        p3 = np.array(pot3, dtype=np.int64)
+    if band3.any():
+        p3 = arr[band3]
         potential_left = int(p3[int(np.argmin(bb[p3, g.T]))])
 
     if potential_left is not None and potential_top is not None:

@@ -75,12 +75,27 @@ def _cholesky_band(n: int, lmbda: float, order: int) -> tuple:
     return tuple(map(tuple, lband))
 
 
+@lru_cache(maxsize=24)
+def _dense_inverse(n: int, lmbda: float, order: int) -> np.ndarray:
+    """Dense (I + λDᵀD)⁻¹ for histogram-sized systems: one cached O(n³)
+    factorization turns every later smooth into a single O(n²) matvec.
+    Histogram lengths cluster tightly (page geometry is quantized), so the
+    cache hit rate is ~100% after warmup."""
+    d = order
+    D = np.diff(np.eye(n), d, axis=0)
+    return np.linalg.inv(np.eye(n) + lmbda * D.T @ D)
+
+
+_DENSE_MAX_N = 2048
+
+
 def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
     """Smooth a 1-D signal by penalized least squares (Whittaker–Eilers).
 
     Mirrors ``WhittakerSmoother(lmbda=…, order=…).smooth(y)`` as used by the
     reference's histogram analyses (``ocr_tree_analyser.py:59-66,170-174,
-    296-300``).
+    296-300``).  Histogram-sized systems use a cached dense inverse (fast
+    matvec); longer signals fall back to the banded Cholesky solve.
     """
     y = np.asarray(y, dtype=np.float64)
     n = y.shape[0]
@@ -89,6 +104,8 @@ def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
     d = int(order)
     if n <= d:
         return y.copy()
+    if n <= _DENSE_MAX_N:
+        return _dense_inverse(n, float(lmbda), d) @ y
     lband = np.array(_cholesky_band(n, float(lmbda), d), dtype=np.float64)
     # Solve L w = y (forward), then Lᵀ z = w (backward).
     w = np.empty(n, dtype=np.float64)
@@ -125,34 +142,36 @@ def _local_maxima(x: np.ndarray) -> np.ndarray:
 
 
 def _prominences(x: np.ndarray, peaks: np.ndarray):
-    """Peak prominences + base indices per the scipy definition."""
+    """Peak prominences + base indices per the scipy definition
+    (vectorized: window = up to the nearest strictly-higher sample; base =
+    the window minimum, ties resolved to the first occurrence)."""
     n = x.shape[0]
     prom = np.empty(len(peaks), dtype=np.float64)
     left_bases = np.empty(len(peaks), dtype=np.int64)
     right_bases = np.empty(len(peaks), dtype=np.int64)
     for pi, p in enumerate(peaks):
         h = x[p]
-        # walk left until a strictly higher sample or the boundary
-        i = p
-        left_min = h
-        left_base = p
-        while i > 0 and x[i - 1] <= h:
-            i -= 1
-            if x[i] < left_min:
-                left_min = x[i]
-                left_base = i
-        # walk right
-        i = p
-        right_min = h
-        right_base = p
-        while i < n - 1 and x[i + 1] <= h:
-            i += 1
-            if x[i] < right_min:
-                right_min = x[i]
-                right_base = i
+        higher = np.nonzero(x[:p] > h)[0]
+        start = int(higher[-1]) + 1 if len(higher) else 0
+        seg = x[start:p]
+        if len(seg):
+            li = int(np.argmin(seg))
+            left_min = float(seg[li])
+            left_bases[pi] = start + li
+        else:
+            left_min = h
+            left_bases[pi] = p
+        higher = np.nonzero(x[p + 1:] > h)[0]
+        stop = p + 1 + int(higher[0]) if len(higher) else n
+        seg = x[p + 1:stop]
+        if len(seg):
+            ri = int(np.argmin(seg))
+            right_min = float(seg[ri])
+            right_bases[pi] = p + 1 + ri
+        else:
+            right_min = h
+            right_bases[pi] = p
         prom[pi] = h - max(left_min, right_min)
-        left_bases[pi] = left_base
-        right_bases[pi] = right_base
     return prom, left_bases, right_bases
 
 

@@ -31,7 +31,9 @@ BUCKET_CAP = 100  # LSH buckets larger than this are skipped (pair blowup guard)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # single-file parquet → 1 partition; spread before the explode-heavy work
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 # word-3-gram shingles, distinct per document (set semantics for Jaccard);
@@ -108,12 +110,17 @@ def d_minhash_pairs(spark, sf_dir):
     capped at {BUCKET_CAP}; larger buckets are degenerate shingle floods and
     are skipped — a logged coverage bound, not silent truncation)."""
     sig = d_minhash(spark, sf_dir)
-    bands = None
-    for k in range(N_BANDS):
-        b = sig.select("doc_id", F.lit(k).alias("band"), F.col(f"sig_{k}").alias("sig"))
-        bands = b if bands is None else bands.union(b)
-    counts = bands.groupBy("band", "sig").agg(F.count("*").alias("bs"))
-    small = bands.join(counts.where(F.col("bs") <= BUCKET_CAP), ["band", "sig"])
+    # one pass over the signature table: unpivot bands, then materialize —
+    # the (doc_id, band, sig) relation is tiny (4 rows/doc) while its lineage
+    # (shingle explode + 4 md5 min-aggregates) is the expensive part, so
+    # persist to keep the self-join from recomputing it per branch
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"sig_{k}") for k in range(N_BANDS)]))
+        .alias("band", "sig"),
+    ).persist()
+    w = Window.partitionBy("band", "sig")
+    small = bands.withColumn("bs", F.count("*").over(w)).where(F.col("bs") <= BUCKET_CAP)
     a = small.select("band", "sig", F.col("doc_id").alias("a"))
     b = small.select("band", "sig", F.col("doc_id").alias("b"))
     return (a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))

@@ -28,7 +28,8 @@ N_PLANES = 8  # sign bits → 256 buckets
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
 _DOT = """

@@ -22,7 +22,8 @@ DATA_MARKERS = ("table", "row", "column")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def t_token_count(spark, sf_dir):

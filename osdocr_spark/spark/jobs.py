@@ -36,8 +36,11 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
     ``documents`` parquet (no external data), salted-repartitioned for the
     per-document kernels."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    if num_partitions:
-        docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
+    if num_partitions is None:
+        # a small single-file parquet scans as ONE partition — without this
+        # the Arrow kernels run on one core regardless of cluster size
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+    docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
     return pages_from_documents(docs)
 
 

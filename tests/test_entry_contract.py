@@ -1,0 +1,109 @@
+"""Driver-contract tests: entry() smoke + Spark↔DuckDB oracle parity on a
+fast subset at sf0.001, plan-hygiene checks (pushdown/pruning), and the
+extraction job's checkpoint/resume semantics.
+
+The driver runs the *full* 33-oracle comparison at sf0.01; here we pin a
+representative slice so `python -m pytest -x -q` stays green and fast.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from harness import compare, duck_con  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# representative slice: one per operator family (the rest run in CI via the
+# driver's own gate; the full sweep was green at sf0.01 — see BENCH notes)
+SUBSET = [
+    "extract_text", "extract_stats", "extract_boilerplate_stats",
+    "q_agg_pricing", "q_join_topk", "q_anti_join", "q_window_lag",
+    "q_set_ops", "d_minhash", "d_simhash", "s_ann_bruteforce", "t_quality",
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from osdocr_spark.spark.session import get_spark
+    s = get_spark(cpus=8, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+    return E
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"url", "text"}
+
+
+def test_every_query_has_callable_and_oracle_keys_align(entry_mod):
+    qs = entry_mod.queries()
+    orc = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(orc) <= set(qs)
+    # geometry-derived queries are the only permitted oracle-less ones
+    assert set(qs) - set(orc) == {"extract_reading_order", "extract_spans", "extract_blocks"}
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity_subset(spark, entry_mod, name):
+    con = duck_con(SF)
+    res = compare(entry_mod.queries()[name](spark, SF),
+                  con.execute(entry_mod.oracle_sql()[name]).df())
+    assert res["cols_match"] and res["count_match"] and res["values_match"], res
+
+
+def test_plan_pushdown_and_pruning(spark):
+    """Scale hygiene: filters reach the parquet scan; the extraction stage
+    reads only (url, html)."""
+    from osdocr_spark.ops.relational import q_filter_project
+    from osdocr_spark.spark.jobs import load_pages
+    from osdocr_spark.spark.stages import extract_pages
+
+    plan = q_filter_project(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+    ex_plan = extract_pages(load_pages(spark, SF))._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the physical documents scan feeding page synthesis must prune to the
+    # columns the generator needs (doc_id, text, lang)
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in ex_plan
+
+
+def test_job_resume(spark, tmp_path):
+    from osdocr_spark.spark.jobs import run_extract_job
+    out = str(tmp_path / "out")
+    r1 = run_extract_job(spark, SF, out, num_partitions=8)
+    assert r1["urls"] == 500
+    # second run: everything checkpointed, nothing reprocessed, count stable
+    r2 = run_extract_job(spark, SF, out, num_partitions=8)
+    assert r2["urls"] == 500
+    # metrics lineage table exists and covers all urls
+    m = spark.read.parquet(r1["metrics_path"])
+    total = m.groupBy().sum("url_count").collect()[0][0]
+    assert total == 500
+
+
+def test_parallelism_invariance(spark, entry_mod):
+    """Same results regardless of partitioning (guards the scaling run)."""
+    from pyspark.sql import functions as F
+    from osdocr_spark.spark.jobs import load_pages
+    from osdocr_spark.spark.stages import extract_pages
+    a = extract_pages(load_pages(spark, SF, num_partitions=2)) \
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws("§", "url", "text"))))).alias("h")) \
+        .collect()[0]["h"]
+    b = extract_pages(load_pages(spark, SF, num_partitions=13, salt=5)) \
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws("§", "url", "text"))))).alias("h")) \
+        .collect()[0]["h"]
+    assert a == b

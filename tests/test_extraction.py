@@ -1,0 +1,77 @@
+"""End-to-end kernel extraction: byte parity, determinism, spans,
+boilerplate stripping — no Spark session needed (pure kernels)."""
+
+import re
+
+import duckdb
+import pytest
+
+from osdocr_spark.kernels.corpus import generate_page, layout_params
+from osdocr_spark.kernels.pipeline import extract_html
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return duckdb.sql(
+        f"select doc_id, text from '{SF}/documents.parquet' order by doc_id"
+    ).fetchall()
+
+
+def test_byte_identical_inversion_full_corpus(docs):
+    """The north-rule invariant: normalized extracted text per url equals the
+    whitespace-normalized source text, byte for byte, for every document."""
+    for doc_id, text in docs:
+        got = extract_html(str(doc_id), generate_page(doc_id, text))["text"]
+        assert got == re.sub(r"\s+", " ", text).strip(), f"doc {doc_id}"
+
+
+def test_deterministic_and_raw_text_stable(docs):
+    for doc_id, text in docs[:25]:
+        h = generate_page(doc_id, text)
+        r1 = extract_html(str(doc_id), h)
+        r2 = extract_html(str(doc_id), h)
+        assert r1 == r2
+        # raw byte-parity artifact: title + '\n' + hyphen-fixed body + '\n';
+        # its whitespace-normalization IS the oracle-facing text
+        assert r1["raw_text"].endswith("\n")
+        assert re.sub(r"\s+", " ", r1["raw_text"]).strip() == r1["text"]
+
+
+def test_spans_tile_normalized_text(docs):
+    for doc_id, text in docs[:50]:
+        r = extract_html(str(doc_id), generate_page(doc_id, text))
+        spans = r["spans"]
+        assert spans, f"doc {doc_id} has no spans"
+        assert spans[0][1] == 0
+        assert spans[-1][2] == len(r["text"])
+        for (b1, s1, e1), (b2, s2, e2) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1  # single joining space between blocks
+        # each span slices to that block's words
+        for bid, s, e in spans:
+            assert r["text"][s:e].strip() == r["text"][s:e]
+
+
+def test_boilerplate_stripped(docs):
+    """Nav/footer link blocks never leak into the extracted text."""
+    from osdocr_spark.kernels.corpus import _NAV
+    for doc_id, text in docs[:50]:
+        r = extract_html(str(doc_id), generate_page(doc_id, text))
+        toks = set(r["text"].split(" "))
+        body_toks = set(text.split(" "))
+        leaked = (toks - body_toks) & set(_NAV)
+        assert not leaked, f"doc {doc_id} leaked {leaked}"
+
+
+def test_layout_stats(docs):
+    for doc_id, text in docs[:100]:
+        p = layout_params(doc_id, len(text.split(" ")))
+        r = extract_html(str(doc_id), generate_page(doc_id, text))
+        assert r["normal_text_size"] == p["size"]
+        assert r["n_articles"] == 1
+        # reading order covers the main (non-boilerplate) blocks minus the
+        # column-rule delimiters (excluded from the graph)
+        n_words = len(text.split(" "))
+        n_delims = p["n_cols"] - 1 if (n_words > p["title_n"] and p["n_cols"] >= 2) else 0
+        assert len(r["reading_order"]) == r["n_main_blocks"] - n_delims

@@ -1,0 +1,167 @@
+"""Kernel unit tests: geometry vs a direct scalar port, smoothing vs dense
+solve, golden layout-analysis values in the reference's test style
+(SURVEY.md §5.1: text size within 10%, exact column count, reading order)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osdocr_spark.kernels import geometry as g
+from osdocr_spark.kernels.emit import fix_hifenization
+from osdocr_spark.kernels.smoothing import find_peaks, whittaker_smooth
+
+boxes = st.tuples(st.integers(0, 50), st.integers(0, 50),
+                  st.integers(0, 50), st.integers(0, 50)).map(
+    lambda t: np.array([min(t[0], t[1]), max(t[0], t[1]) + 1,
+                        min(t[2], t[3]), max(t[2], t[3]) + 1], dtype=np.int64))
+
+
+def _scalar_intersects(a, b):
+    """Direct scalar port of Box.intersects_box (box.py:173-196)."""
+    iv = (a[2] <= b[2] and a[3] >= b[2]) or (b[2] <= a[2] and b[3] >= a[2])
+    ih = a[0] <= b[1] and a[1] >= b[0]
+    return iv and ih
+
+
+@settings(max_examples=300, deadline=None)
+@given(boxes, boxes)
+def test_intersects_matches_scalar(a, b):
+    assert bool(g.intersects(a, b)) == _scalar_intersects(a, b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(boxes, boxes)
+def test_inside_implies_intersects(a, b):
+    if bool(g.is_inside(a, b)):
+        assert bool(g.intersects(a, b, inside=True))
+
+
+@settings(max_examples=200, deadline=None)
+@given(boxes, boxes)
+def test_intersect_area_box_symmetry(a, b):
+    ia = g.intersect_area_box(a, b)
+    ib = g.intersect_area_box(b, a)
+    assert (ia == ib).all()
+    if _scalar_intersects(a, b):
+        assert g.width(ia) >= 0 and g.height(ia) >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(boxes, boxes)
+def test_remove_box_area_disjoint_or_stable(a, b):
+    out = g.remove_box_area(a, b)
+    # result is contained in the original
+    assert bool(g.is_inside(out, a))
+
+
+def test_whittaker_matches_dense_solve():
+    rng = np.random.RandomState(7)
+    for n, lm, d in [(50, 1e1, 3), (200, 2e4, 2), (333, 2e2, 2)]:
+        y = rng.rand(n) * 10
+        D = np.diff(np.eye(n), d, axis=0)
+        ref = np.linalg.solve(np.eye(n) + lm * D.T @ D, y)
+        got = whittaker_smooth(y, lm, d)
+        assert np.abs(ref - got).max() < 1e-8
+
+
+def test_find_peaks_prominence_and_width():
+    x = np.array([0, 1, 3, 6, 3, 1, 0, 2, 5, 2, 0], dtype=float)
+    p, props = find_peaks(x, prominence=1, width=1)
+    assert list(p) == [3, 8]
+    assert props["prominences"][0] == 6
+    # plateau resolves to midpoint
+    p2, _ = find_peaks(np.array([0, 2, 2, 2, 0], dtype=float))
+    assert list(p2) == [2]
+
+
+def test_fix_hifenization_cases():
+    # join across newline (text.py:15)
+    assert fix_hifenization("mer- \nge ") == "merge "
+    # leading hyphen on continuation consumed
+    assert fix_hifenization("mer-\n-ge") == "merge"
+    # same-line spaced hyphen tightened, hyphen kept (text.py:16)
+    assert fix_hifenization("well - known") == "well-known"
+    # faithful cap: only 8 newline joins per call (reference passes
+    # re.MULTILINE==8 as re.sub's count argument)
+    many = "ab- \ncd " * 12
+    fixed = fix_hifenization(many)
+    assert fixed.count("abcd") == 8
+    assert fix_hifenization(many, faithful=False).count("abcd") == 12
+
+
+def _make_doc(blocks):
+    """Build a Document from [(box, [(line_y, 'words …'), …]), …]."""
+    from osdocr_spark.kernels.doc import Document
+    wb, wc, wt, wbl, wp, wl, wlk, bb = [], [], [], [], [], [], [], []
+    for bi, (box, lines) in enumerate(blocks):
+        bb.append(box)
+        for li, (y, text, h) in enumerate(lines):
+            x = box[0]
+            for w in text.split():
+                wb.append((x, x + len(w) * 10, y, y + h))
+                wc.append(95)
+                wt.append(w)
+                wbl.append(bi)
+                wp.append(0)
+                wl.append(li)
+                wlk.append(False)
+                x += len(w) * 10 + 10
+    return Document(
+        url="t", w_box=np.array(wb, np.int64).reshape(-1, 4), w_conf=np.array(wc, np.int64),
+        w_text=np.array(wt, object), w_block=np.array(wbl, np.int64),
+        w_par=np.array(wp, np.int64), w_line=np.array(wl, np.int64),
+        w_link=np.array(wlk, bool), b_box=np.array(bb, np.int64).reshape(-1, 4),
+        b_id=np.arange(len(bb), dtype=np.int64), b_type=np.full(len(bb), None, object),
+    )
+
+
+def test_golden_text_size_and_columns():
+    """Reference test style: normal text size within 10% of truth
+    (tests/analyze_text/test_text_size.py:37-38), exact column count
+    (test_columns.py:38-75)."""
+    from osdocr_spark.kernels.analyzer import get_columns, get_text_sizes
+    # 3 columns x 4 blocks x 3 lines of height 20
+    blocks = []
+    for col in range(3):
+        x0 = 100 + col * 400
+        for bi in range(4):
+            y0 = 100 + bi * 140
+            lines = [(y0 + k * 30, "aa bb cc dd", 20) for k in range(3)]
+            blocks.append(((x0, x0 + 350, y0, y0 + 80), lines))
+    doc = _make_doc(blocks)
+    ts = get_text_sizes(doc)
+    assert abs(ts["normal_text_size"] - 20) / 20 <= 0.1
+    cols = get_columns(doc)
+    assert len(cols) == 2  # consecutive left-margin peak pairs (3 peaks)
+
+
+def test_golden_reading_order_two_columns():
+    """Pairwise-precedence check of the ordered ids
+    (test_reading_order.py:73-92 style, threshold 1.0 here)."""
+    from osdocr_spark.kernels.classify import categorize_blocks
+    from osdocr_spark.kernels.order import sort_topologic_order, topologic_order_context
+    blocks = [((100, 900, 50, 100), [(50, "Big Title", 50)])]
+    for col in range(2):
+        x0 = 100 + col * 450
+        for bi in range(3):
+            y0 = 150 + bi * 120
+            blocks.append(((x0, x0 + 400, y0, y0 + 80),
+                           [(y0 + k * 28, "xx yy zz ww", 20) for k in range(3)]))
+    doc = _make_doc(blocks)
+    categorize_blocks(doc)
+    assert doc.b_type[0] == "title"
+    graph = topologic_order_context(doc, list(range(doc.n_blocks())))
+    order = sort_topologic_order(doc, graph, sort_weight=True)
+    assert order == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_hocr_roundtrip():
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.hocr import parse_hocr, to_hocr
+    d1 = parse_hocr(generate_page(11, "the quick brown fox jumps over the lazy dog " * 6))
+    d2 = parse_hocr(to_hocr(d1))
+    assert list(d1.w_text) == list(d2.w_text)
+    assert (d1.w_box == d2.w_box).all()
+    assert (d1.b_box == d2.b_box).all()
+    assert (d1.w_link == d2.w_link).all()
