@@ -130,6 +130,40 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, EXTRACTED_SCHEMA)
 
 
+def extract_documents_fused(documents: DataFrame) -> DataFrame:
+    """Scan-fused extraction: synthesize the page and extract it inside ONE
+    Python stage (single Arrow hop).
+
+    In production the html bytes come straight off the Iceberg/parquet scan
+    and extraction is the only Python stage in the job; in this sandbox the
+    deterministic generator plays the role of that scan, so fusing it into
+    the extraction stage reproduces the production plan shape (and is what
+    the scaling benchmark measures).  ``extract_pages`` remains the
+    general-purpose stage for pre-materialized pages tables.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                url = url_for_doc(int(doc_id))
+                r = extract_html(url, generate_page(int(doc_id), text))
+                rows.append((
+                    r["url"], r["text"], r["raw_text"], r["n_blocks"],
+                    r["n_main_blocks"], r["n_articles"], r["n_words"],
+                    r["normal_text_size"], r["detected_columns"],
+                    r["reading_order"],
+                    [{"block_id": b, "start": s, "end": e} for b, s, e in r["spans"]],
+                    pid,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+    return documents.select("doc_id", "text").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
 def blocks_from_pages(pages: DataFrame, categorize: bool = True) -> DataFrame:
     """UDTF-shaped parse stage: one page row → N block rows with geometry +
     density features (the ``blocks`` intermediate table of SURVEY.md §1.5)."""
