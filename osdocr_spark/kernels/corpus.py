@@ -93,11 +93,20 @@ class _Emitter:
     def __init__(self):
         self.parts = ["<!DOCTYPE html>\n<html><body>"]
         self.block_n = 0
+        # one-shot bbox inflation for the next block (noisy pages: the block
+        # box exceeds its word hull → text_bound_box_fix must shrink it)
+        self.pad_right = 0
+        self.pad_bottom = 0
 
     def block(self, lines: list[list[str]], x0: int, y0: int, size: int,
               char_w: int, link: bool = False, lines_per_par: int = LINES_PER_PAR,
-              conf: int = 95) -> tuple[int, int, int, int]:
-        """Emit one carea with pars/lines/words; returns the block bbox."""
+              conf: int = 95, word_gap: int | None = None) -> tuple[int, int, int, int]:
+        """Emit one carea with pars/lines/words; returns the block bbox.
+
+        ``word_gap`` defaults to ``char_w``; title blocks pass the *body*
+        char width so their inter-word gaps stay proportional to the page's
+        average word distance (otherwise ``split_whitespaces`` — correctly —
+        treats an all-gaps title line as splittable whitespace)."""
         self.block_n += 1
         bid = self.block_n
         pitch = size + size // 2
@@ -108,13 +117,16 @@ class _Emitter:
             b = t + size
             x = x0
             row = []
+            gap = word_gap if word_gap is not None else char_w
             for w in line:
                 r = x + len(w) * char_w
                 row.append((w, x, r, t, b))
-                x = r + char_w
+                x = r + gap
             max_r = max(max_r, row[-1][2] if row else x0)
             word_rows.append(row)
-        bb = (x0, max_r, y0, y0 + (len(lines) - 1) * pitch + size)
+        bb = (x0, max_r + self.pad_right, y0,
+              y0 + (len(lines) - 1) * pitch + size + self.pad_bottom)
+        self.pad_right = self.pad_bottom = 0
         out = [f"<div class='ocr_carea' id='block_1_{bid}' title='bbox {bb[0]} {bb[2]} {bb[1]} {bb[3]}'>"]
         for li, row in enumerate(word_rows):
             par = li // lines_per_par
@@ -154,8 +166,22 @@ class _Emitter:
         return "\n".join(self.parts).encode("utf-8")
 
 
-def generate_page(doc_id: int, text: str) -> bytes:
-    """Render one document into hOCR bytes (see module docstring)."""
+def generate_page(doc_id: int, text: str, noisy: bool = False) -> bytes:
+    """Render one document into hOCR bytes (see module docstring).
+
+    ``noisy=True`` additionally injects OCR-like defects that the fix suite
+    (:mod:`osdocr_spark.kernels.fix`) must repair for the extraction oracle
+    to still hold byte-for-byte:
+
+    - a low-confidence garbage block (conf 5 → ``remove_nodes_conf`` +
+      ``remove_empty_boxes``)
+    - an empty box covering >80% of the page (the size rule in
+      ``remove_empty_boxes``)
+    - an empty box nested inside the first body block
+      (``block_bound_box_fix`` containment removal)
+    - the first body block's bbox inflated past its word hull, overlapping
+      the column gutter (``text_bound_box_fix`` shrink-to-hull)
+    """
     words = text.split(" ")
     p = layout_params(doc_id, len(words))
     s, cw = p["size"], p["char_w"]
@@ -171,7 +197,7 @@ def generate_page(doc_id: int, text: str) -> bytes:
     tcw = p["title_size"] * 3 // 5
     title_chars = (PAGE_W - 2 * MARGIN) // tcw
     tlines = _wrap_words(title_words, title_chars, doc_id, allow_hyphen=False)
-    tb = em.block(tlines, MARGIN, 60, p["title_size"], tcw)
+    tb = em.block(tlines, MARGIN, 60, p["title_size"], tcw, word_gap=cw)
 
     # body columns
     n_cols = p["n_cols"]
@@ -187,6 +213,8 @@ def generate_page(doc_id: int, text: str) -> bytes:
         for ci in range(n_cols):
             x0 = MARGIN + ci * (col_w + GUTTER)
             y = y_body
+            if noisy and ci == 0:
+                em.pad_right, em.pad_bottom = GUTTER + 5, s // 2
             for blines in blocks[ci * per_col: (ci + 1) * per_col]:
                 bb = em.block(blines, x0, y, s, cw)
                 y = bb[3] + s
@@ -199,4 +227,24 @@ def generate_page(doc_id: int, text: str) -> bytes:
     # footer (boilerplate links)
     foot = [_NAV[(doc_id + 5 + i) % len(_NAV)] for i in range(3)]
     em.block([foot], MARGIN, body_bottom + 60, HEADER_SIZE, HEADER_CW, link=True)
+
+    if noisy and body_words:
+        pitch = s + s // 2
+        x0 = MARGIN
+        # low-confidence garbage words (dropped by remove_nodes_conf)
+        em.block([["zq", "xv"]], PAGE_W - 150, 12, HEADER_SIZE, HEADER_CW, conf=5)
+        # empty box covering >80% of the page (size rule in remove_empty_boxes)
+        em.empty_block(5, PAGE_W - 5, 5, body_bottom + 100)
+        # empty non-delimiter box nested in the first body block
+        em.empty_block(x0 + 5, x0 + 30, y_body + 2, y_body + 2 + s // 2)
+        # fake horizontal rule through the first body block's 2nd line gap
+        # (delimiters_fix must split the block without losing words; the gap
+        # after line 2 keeps both fragments multi-line so the reference's
+        # text-continuation attraction (+50, needs >1 line) preserves
+        # column-major reading order)
+        first_lines = len(_wrap_words(body_words, chars_per_line, doc_id,
+                                      allow_hyphen=True)[:LINES_PER_BLOCK])
+        if first_lines >= 4:
+            em.empty_block(x0 + 2, x0 + col_w // 2,
+                           y_body + 2 * pitch - s // 2 + 2, y_body + 2 * pitch - 2)
     return em.finish()

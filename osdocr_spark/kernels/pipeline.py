@@ -119,6 +119,12 @@ def extract_document(doc: Document, conf: int = 10) -> dict:
     }
 
 
-def extract_html(url: str, html: bytes, conf: int = 10) -> dict:
-    """Stage 1 + 2–6: parse then extract."""
-    return extract_document(parse_hocr(html, url=url), conf=conf)
+def extract_html(url: str, html: bytes, conf: int = 10, clean: bool = False) -> dict:
+    """Stage 1 + 2–6: parse, optionally run the §2.9 fix suite
+    (``kernels.fix.clean_doc`` — the reference's ``clean_ocr`` order), then
+    extract."""
+    doc = parse_hocr(html, url=url)
+    if clean:
+        from .fix import clean_doc
+        doc = clean_doc(doc, conf=conf)
+    return extract_document(doc, conf=conf)

@@ -36,6 +36,16 @@ FROM documents
 """
 
 
+def extract_text_noisy(spark, sf_dir):
+    """Fix-suite gauntlet: pages carry injected OCR-like defects (low-conf
+    garbage, oversized/nested empty boxes, inflated bboxes, a fake rule
+    through a text block — ``kernels.corpus.generate_page(noisy=True)``);
+    the §2.9 cleaning pipeline (``kernels.fix.clean_doc``) must repair them
+    so extraction still returns the byte-identical normalized text."""
+    return (extract_pages(load_pages(spark, sf_dir, noisy=True), clean=True)
+            .select("url", "text"))
+
+
 def extract_stats(spark, sf_dir):
     """Layout stats with arithmetic oracles: detected normal text size must
     equal the generator's size class; article isolation must yield exactly
@@ -100,6 +110,7 @@ FROM documents
 
 QUERIES = {
     "extract_text": extract_text,
+    "extract_text_noisy": extract_text_noisy,
     "extract_stats": extract_stats,
     "extract_reading_order": extract_reading_order,
     "extract_spans": extract_spans,
@@ -109,6 +120,7 @@ QUERIES = {
 
 ORACLES = {
     "extract_text": _O_TEXT,
+    "extract_text_noisy": _O_TEXT,
     "extract_stats": _O_STATS,
     "extract_boilerplate_stats": _O_BOILER,
 }

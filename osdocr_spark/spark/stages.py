@@ -82,18 +82,20 @@ def url_for_doc(doc_id: int) -> str:
     return URL_FMT.format(dom=doc_id % URL_DOMAINS, doc_id=doc_id)
 
 
-def pages_from_documents(documents: DataFrame) -> DataFrame:
+def pages_from_documents(documents: DataFrame, noisy: bool = False) -> DataFrame:
     """``documents(doc_id, text, lang)`` → Common-Crawl-shaped ``pages``
     table (BASELINE.json input_hint schema).  Deterministic: html rendered by
     the seedless arithmetic layout generator; ``warc_ts`` = epoch 2024-01-01
-    + doc_id seconds."""
+    + doc_id seconds.  ``noisy=True`` injects the OCR-like defects the fix
+    suite must repair (see ``kernels.corpus.generate_page``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "url": [url_for_doc(int(d)) for d in pdf["doc_id"]],
                 "warc_ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s"),
-                "html": [generate_page(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])],
+                "html": [generate_page(int(d), t, noisy=noisy)
+                         for d, t in zip(pdf["doc_id"], pdf["text"])],
                 "text": pdf["text"],
                 "lang": pdf["lang"],
             })
@@ -101,9 +103,11 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, clean: bool = False) -> DataFrame:
     """The flagship stage: ``pages`` → ``extracted`` (normalized text +
     byte-parity raw text + spans + layout stats + partition lineage id).
+    ``clean=True`` runs the §2.9 fix suite (``kernels.fix.clean_doc``)
+    between parse and analysis.
 
     Column pruning: selects only ``url, html`` from the input, so Catalyst
     prunes the scan to those columns regardless of the pages schema width.
@@ -116,7 +120,7 @@ def extract_pages(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                r = extract_html(url, bytes(html))
+                r = extract_html(url, bytes(html), clean=clean)
                 rows.append((
                     r["url"], r["text"], r["raw_text"], r["n_blocks"],
                     r["n_main_blocks"], r["n_articles"], r["n_words"],
