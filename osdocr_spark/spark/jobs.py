@@ -45,7 +45,8 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
 
 
 def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,
-                    num_partitions: int | None = None, resume: bool = True) -> dict:
+                    num_partitions: int | None = None, resume: bool = True,
+                    noisy: bool = False, clean: bool = False) -> dict:
     """Extract every page; write ``extracted`` + per-partition ``metrics``
     parquet tables under ``out_dir``.  Returns summary counters.
 
@@ -53,7 +54,7 @@ def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,
     already present are skipped via a broadcast-friendly left-anti join on
     the committed checkpoint (Iceberg: the last committed snapshot).
     """
-    pages = load_pages(spark, sf_dir, num_partitions=num_partitions)
+    pages = load_pages(spark, sf_dir, num_partitions=num_partitions, noisy=noisy)
     extracted_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "metrics")
 
@@ -66,7 +67,7 @@ def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,
     if done_urls is not None:
         pages = pages.join(done_urls, on="url", how="left_anti")
 
-    extracted = extract_pages(pages)
+    extracted = extract_pages(pages, clean=clean)
     mode = "append" if done_urls is not None else "overwrite"
     extracted.write.mode(mode).parquet(extracted_path)
 
