@@ -109,6 +109,31 @@ def article_to_txt(article: dict, fix: bool = True, faithful: bool = True) -> st
     return text
 
 
+_MD_ESCAPE = re.compile(r"(^|\n) *([\#\*\-])\s")
+
+
+def article_to_md(article: dict, fix: bool = True, faithful: bool = True) -> str:
+    """``Article.to_md`` (``article.py:177-214``): ``# title`` header,
+    hyphen-fixed text body with markdown-control escaping, ``![image]``
+    placeholders for image items, rule-delimited."""
+    title = "Default Title"
+    if article["title"]:
+        title = fix_hifenization(article["title"], faithful=faithful) if fix else article["title"]
+        title = re.sub(r"\s\s+", " ", article["title"])
+        title = re.sub(r"\n", " ", title)
+    rule = "-" * 66
+    out = [f"# {title}\n", "\n\n", rule]
+    for kind, payload in article["body"]:
+        if kind == "text":
+            if fix:
+                payload = fix_hifenization(payload, faithful=faithful)
+            out.append(_MD_ESCAPE.sub(r"\1\\\2 ", payload))
+        else:
+            out.append("\n\n![image](image)\n\n")
+    out.append(f"\n\n{rule}")
+    return "".join(out)
+
+
 _WS = re.compile(r"\s+")
 
 

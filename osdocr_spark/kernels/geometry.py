@@ -52,6 +52,8 @@ def center(b: np.ndarray) -> np.ndarray:
 
 def is_inside(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """``a`` fully inside ``b`` (closed; ``Box.is_inside_box``, ``box.py:166-170``)."""
+    if a.ndim == 1 and getattr(b, "ndim", 1) == 1:  # scalar fast path
+        return (a[L] >= b[L]) and (a[R] <= b[R]) and (a[T] >= b[T]) and (a[B] <= b[B])
     return (
         (a[..., L] >= b[..., L]) & (a[..., R] <= b[..., R])
         & (a[..., T] >= b[..., T]) & (a[..., B] <= b[..., B])
@@ -69,6 +71,14 @@ def intersects(a: np.ndarray, b: np.ndarray,
     ``inside=True`` additionally accepts containment either way (redundant
     with plain overlap but kept for signature parity).
     """
+    if a.ndim == 1 and getattr(b, "ndim", 1) == 1:  # scalar fast path
+        siv = extend_vertical or (
+            (a[T] <= b[T] and a[B] >= b[T]) or (b[T] <= a[T] and b[B] >= a[T]))
+        sih = extend_horizontal or (a[L] <= b[R] and a[R] >= b[L])
+        shit = siv and sih
+        if inside and not shit:
+            shit = bool(is_inside(a, b)) or bool(is_inside(b, a))
+        return shit
     iv = extend_vertical | (
         ((a[..., T] <= b[..., T]) & (a[..., B] >= b[..., T]))
         | ((b[..., T] <= a[..., T]) & (b[..., B] >= a[..., T]))
@@ -122,6 +132,13 @@ def within_vertical(a: np.ndarray, b: np.ndarray, rng: float = 0.0,
     (``Box.within_vertical_boxes``, ``box.py:130-142``): ``b`` within ``a``
     grown by ``rng·height(a)``, or (unless ``only_self``) ``a`` within ``b``
     grown by ``rng·height(b)``."""
+    if a.ndim == 1 and getattr(b, "ndim", 1) == 1:  # scalar fast path
+        ha = (a[B] - a[T]) * rng
+        hit = (a[T] - ha <= b[T]) and (a[B] + ha >= b[B])
+        if not only_self and not hit:
+            hb = (b[B] - b[T]) * rng
+            hit = (b[T] - hb <= a[T]) and (b[B] + hb >= a[B])
+        return hit
     ha = height(a) * rng
     hit = (a[..., T] - ha <= b[..., T]) & (a[..., B] + ha >= b[..., B])
     if not only_self:
@@ -133,6 +150,13 @@ def within_vertical(a: np.ndarray, b: np.ndarray, rng: float = 0.0,
 def within_horizontal(a: np.ndarray, b: np.ndarray, rng: float = 0.0,
                       only_self: bool = False) -> np.ndarray:
     """Horizontal counterpart (``box.py:145-156``)."""
+    if a.ndim == 1 and getattr(b, "ndim", 1) == 1:  # scalar fast path
+        wa = (a[R] - a[L]) * rng
+        hit = (a[L] - wa <= b[L]) and (a[R] + wa >= b[R])
+        if not only_self and not hit:
+            wb = (b[R] - b[L]) * rng
+            hit = (b[L] - wb <= a[L]) and (b[R] + wb >= a[R])
+        return hit
     wa = width(a) * rng
     hit = (a[..., L] - wa <= b[..., L]) & (a[..., R] + wa >= b[..., R])
     if not only_self:
@@ -173,6 +197,27 @@ def distance_to(a: np.ndarray, b: np.ndarray, border: str | None = None) -> np.n
     between that border's midpoint of ``a`` and the opposite border's
     midpoint of ``b`` (reference pairs e.g. ``a.left ↔ b.right``).
     """
+    if getattr(a, "ndim", 0) == 1 and getattr(b, "ndim", 0) == 1:  # scalar path
+        import math
+        def pt(bx, which):
+            cx = (bx[L] + bx[R]) / 2.0
+            cy = (bx[T] + bx[B]) / 2.0
+            if which == "left":
+                return bx[L], cy
+            if which == "right":
+                return bx[R], cy
+            if which == "top":
+                return cx, bx[T]
+            if which == "bottom":
+                return cx, bx[B]
+            return cx, cy
+        if border in _BORDER_POINTS:
+            xa, ya = pt(a, border)
+            xb, yb = pt(b, _OPPOSITE[border])
+        else:
+            xa, ya = pt(a, "center")
+            xb, yb = pt(b, "center")
+        return math.hypot(xa - xb, ya - yb)
     if border in _BORDER_POINTS:
         pa = _mid_point(np.asarray(a), border)
         pb = _mid_point(np.asarray(b), _OPPOSITE[border])

@@ -124,20 +124,23 @@ def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
 
 
 def _local_maxima(x: np.ndarray) -> np.ndarray:
-    """Indices of local maxima; plateaus resolve to their midpoint (scipy rule)."""
+    """Indices of local maxima; plateaus resolve to their midpoint (scipy
+    rule).  Strict peaks are found vectorized; only plateau candidates
+    (rare in smoothed signals) are walked in Python."""
     n = x.shape[0]
-    peaks = []
-    i = 1
-    while i < n - 1:
-        if x[i - 1] < x[i]:
-            j = i
-            while j < n - 1 and x[j + 1] == x[i]:
-                j += 1
-            if j < n - 1 and x[j + 1] < x[i]:
-                peaks.append((i + j) // 2)
-                i = j + 1
-                continue
-        i += 1
+    if n < 3:
+        return np.empty(0, dtype=np.int64)
+    d = np.diff(x)
+    strict = np.nonzero((d[:-1] > 0) & (d[1:] < 0))[0] + 1
+    plateau_starts = np.nonzero((d[:-1] > 0) & (d[1:] == 0))[0] + 1
+    peaks = list(strict)
+    for i in plateau_starts:
+        j = i
+        while j < n - 1 and x[j + 1] == x[i]:
+            j += 1
+        if j < n - 1 and x[j + 1] < x[i]:
+            peaks.append((i + j) // 2)
+    peaks.sort()
     return np.asarray(peaks, dtype=np.int64)
 
 

@@ -165,3 +165,31 @@ def test_hocr_roundtrip():
     assert (d1.w_box == d2.w_box).all()
     assert (d1.b_box == d2.b_box).all()
     assert (d1.w_link == d2.w_link).all()
+
+
+def test_journal_areas_segments_header_body_footer():
+    """get_journal_areas (ocr_tree_analyser.py:248-392): inverted line-top
+    projection finds the dense body band between sparse header/footer."""
+    from osdocr_spark.kernels.analyzer import get_journal_areas
+    blocks = [((100, 400, 10, 24), [(10, "nav nav nav", 14)])]
+    for bi in range(8):
+        y0 = 200 + bi * 90
+        blocks.append(((100, 700, y0, y0 + 80),
+                       [(y0 + k * 28, "aa bb cc dd ee", 20) for k in range(3)]))
+    blocks.append(((100, 400, 1100, 1114), [(1100, "footer links", 14)]))
+    doc = _make_doc(blocks)
+    areas = get_journal_areas(doc)
+    assert areas["body"] is not None
+    body = areas["body"]
+    assert body[2] > 24 and body[3] >= 900  # header excluded, body spans columns band
+    assert areas["header"][3] == body[2] and areas["footer"][2] == body[3]
+
+
+def test_article_to_md():
+    from osdocr_spark.kernels.emit import article_to_md
+    art = {"title": "Big News", "subtitle": [], "abstract": None,
+           "body": [("text", "mer- \nge done. # not a header"), ("image", "")]}
+    md = article_to_md(art)
+    assert md.startswith("# Big News")
+    assert "merge done." in md
+    assert "![image](image)" in md
