@@ -14,9 +14,9 @@ are computed in exact DECIMAL arithmetic and rounded to 4dp on both engines,
 so Spark↔DuckDB float summation order can never flip a hash.
 """
 
-from . import dedup, extraction, relational, simsearch, textstats
+from . import dedup, extraction, relational, simsearch, textstats, validation
 
-ALL_MODULES = (relational, textstats, dedup, simsearch, extraction)
+ALL_MODULES = (relational, textstats, dedup, simsearch, extraction, validation)
 
 
 def all_queries():

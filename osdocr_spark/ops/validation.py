@@ -1,0 +1,236 @@
+"""Validation / calibration metrics as first-class operators.
+
+The reference's ground-truth scoring harness (``O/validation/calibrate.py``,
+SURVEY.md §2.4) computes text-quality metrics per document; here they are
+relational operators over the corpus:
+
+- :func:`v_unique_word_ratio` — unique-word ratio (``calibrate.py:176-187``)
+- :func:`v_tfidf_pairs`       — tf-idf cosine similarity between document
+  pairs (``calibrate.py:150-153``, sklearn there; a sparse-vector join here)
+- :func:`v_jaro_winkler`      — Jaro–Winkler similarity (``calibrate.py:212``,
+  jellyfish there; an Arrow-batched pandas UDF kernel here; rows-only check)
+- :func:`v_order_similarity`  — pairwise order-precedence similarity between
+  the extracted and source token sequences — the reference's reading-order
+  test metric (``tests/reading_order/test_reading_order.py:73-92``) as an
+  operator; byte-parity implies exactly 1.0 per url (rows-only check — the
+  metric itself is the assertion).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def v_unique_word_ratio(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("unique_ratio"),
+    )
+
+
+_O_UNIQ = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+       ROUND(len(list_distinct(string_split(text, ' ')))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS unique_ratio
+FROM documents
+"""
+
+
+def v_tfidf_pairs(spark, sf_dir):
+    """tf-idf cosine similarity ≥ 0.5 between doc pairs of the doc_id%10==0
+    sample: tf = term count, idf = ln(N/df) over the sample, sparse dot via
+    a join on the term."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    n_docs = d.count()
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").cast("double").alias("tf")))
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    wts = (tf.join(df_, "w")
+           .withColumn("wt", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    norms = wts.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("nrm"))
+    a = wts.select(F.col("doc_id").alias("a"), "w", F.col("wt").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("b"), "w", F.col("wt").alias("wb"))
+    dots = (a.join(b, "w").where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nrm").alias("nb"))
+    return (dots.join(na, "a").join(nb, "b")
+            .withColumn("cos", F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 4))
+            .where(F.col("cos") >= 0.5)
+            .select("a", "b", "cos"))
+
+
+_O_TFIDF = """
+WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+n AS (SELECT COUNT(*) AS n_docs FROM s),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s)
+  GROUP BY doc_id, w),
+idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY w),
+wts AS (
+  SELECT doc_id, w, tf * ln((SELECT n_docs FROM n) / df) AS wt
+  FROM tf JOIN idf USING (w)),
+norms AS (SELECT doc_id, SUM(wt * wt) AS nrm FROM wts GROUP BY doc_id),
+dots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.wt * y.wt) AS dot
+  FROM wts x JOIN wts y ON x.w = y.w AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, ROUND(dot / SQRT(na.nrm * nb.nrm), 4) AS cos
+FROM dots JOIN norms na ON dots.a = na.doc_id
+          JOIN norms nb ON dots.b = nb.doc_id
+WHERE ROUND(dot / SQRT(na.nrm * nb.nrm), 4) >= 0.5
+"""
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro–Winkler similarity (standard definition; the reference uses the
+    jellyfish implementation, ``calibrate.py:212``)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return jaro + prefix * 0.1 * (1 - jaro)
+
+
+def v_jaro_winkler(spark, sf_dir):
+    """JW similarity between each doc's 40-char prefix and the next doc's
+    (deterministic pairing; rows-only — no SQL JW exists)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 40).alias("p"))
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("p").alias("p2"))
+    pairs = d.join(nxt, "doc_id").select("doc_id", "p", "p2")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "jw": [round(_jaro_winkler(x, y), 4)
+                       for x, y in zip(pdf["p"], pdf["p2"])],
+            })
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("jw", T.DoubleType())])
+    return pairs.mapInPandas(run, schema)
+
+
+def v_order_similarity(spark, sf_dir):
+    """Pairwise order-precedence similarity of extracted vs source tokens
+    (the reference's reading-order metric, ``test_reading_order.py:73-92``):
+    fraction of source ordered pairs preserved in the extraction.  Byte
+    parity ⇒ 1.0 for every url."""
+    from ..spark.jobs import load_pages
+    from ..spark.stages import URL_DOMAINS, extract_pages
+
+    ex = extract_pages(load_pages(spark, sf_dir)).select("url", F.col("text").alias("got"))
+    url_col = F.concat(F.lit("https://news-"),
+                       (F.col("doc_id") % URL_DOMAINS).cast("string"),
+                       F.lit(".example.com/a/"), F.col("doc_id").cast("string"))
+    src = _docs(spark, sf_dir).select(url_col.alias("url"), F.col("text").alias("want"))
+    j = ex.join(src, "url")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sims = []
+            for got, want in zip(pdf["got"], pdf["want"]):
+                want_toks = want.split()
+                got_toks = got.split()
+                # project onto common multiset positions via first-occurrence
+                # ranks (the reference projects onto the common id set)
+                pos = {}
+                for idx, tok in enumerate(got_toks):
+                    pos.setdefault(tok, []).append(idx)
+                order = []
+                used: dict = {}
+                for tok in want_toks:
+                    k = used.get(tok, 0)
+                    lst = pos.get(tok, [])
+                    if k < len(lst):
+                        order.append(lst[k])
+                        used[tok] = k + 1
+                n = len(order)
+                if n < 2:
+                    sims.append(1.0)
+                    continue
+                good = total = 0
+                for i in range(n):
+                    for k in range(i + 1, n):
+                        total += 1
+                        if order[i] < order[k]:
+                            good += 1
+                sims.append(round(good / total, 4))
+            yield pd.DataFrame({"url": pdf["url"], "order_similarity": sims})
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("order_similarity", T.DoubleType())])
+    return j.mapInPandas(run, schema)
+
+
+# byte parity makes the order metric a constant invariant the oracle can state
+_O_ORDER = """
+SELECT 'https://news-' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/a/'
+           || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1.0 AS DOUBLE) AS order_similarity
+FROM documents
+"""
+
+QUERIES = {
+    "v_unique_word_ratio": v_unique_word_ratio,
+    "v_tfidf_pairs": v_tfidf_pairs,
+    "v_jaro_winkler": v_jaro_winkler,
+    "v_order_similarity": v_order_similarity,
+}
+
+ORACLES = {
+    "v_unique_word_ratio": _O_UNIQ,
+    "v_tfidf_pairs": _O_TFIDF,
+    "v_order_similarity": _O_ORDER,
+}

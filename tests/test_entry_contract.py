@@ -52,8 +52,10 @@ def test_every_query_has_callable_and_oracle_keys_align(entry_mod):
     orc = entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(orc) <= set(qs)
-    # geometry-derived queries are the only permitted oracle-less ones
-    assert set(qs) - set(orc) == {"extract_reading_order", "extract_spans", "extract_blocks"}
+    # geometry-derived / non-SQL-expressible queries are the only permitted
+    # oracle-less ones
+    assert set(qs) - set(orc) == {"extract_reading_order", "extract_spans",
+                                  "extract_blocks", "v_jaro_winkler"}
 
 
 @pytest.mark.parametrize("name", SUBSET)
