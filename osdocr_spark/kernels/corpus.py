@@ -166,7 +166,8 @@ class _Emitter:
         return "\n".join(self.parts).encode("utf-8")
 
 
-def generate_page(doc_id: int, text: str, noisy: bool = False) -> bytes:
+def generate_page(doc_id: int, text: str, noisy: bool = False,
+                  multi_article: bool = False) -> bytes:
     """Render one document into hOCR bytes (see module docstring).
 
     ``noisy=True`` additionally injects OCR-like defects that the fix suite
@@ -206,16 +207,48 @@ def generate_page(doc_id: int, text: str, noisy: bool = False) -> bytes:
     y_body = tb[3] + 40
     body_bottom = y_body
     if body_words:
-        lines = _wrap_words(body_words, chars_per_line, doc_id, allow_hyphen=True)
-        blocks = [lines[i: i + LINES_PER_BLOCK] for i in range(0, len(lines), LINES_PER_BLOCK)]
-        per_col = -(-len(blocks) // n_cols)  # ceil
+        def _chunk(ws, hyphen):
+            ls = _wrap_words(ws, chars_per_line, doc_id, allow_hyphen=hyphen)
+            return [ls[i: i + LINES_PER_BLOCK] for i in range(0, len(ls), LINES_PER_BLOCK)]
+
+        # multi-article: the second article starts at the top of column 2 —
+        # its headline takes the next 3 words of the stream at that point, so
+        # column-major reading order still reproduces the source text and
+        # graph_isolate_articles must cut exactly there
+        titles_at: dict[int, list[str]] = {}
+        col_plan: list[list]
+        if multi_article and n_cols >= 2:
+            blocks_all = _chunk(body_words, hyphen=False)
+            per_col0 = -(-len(blocks_all) // n_cols)
+            n_col1 = sum(len(ln) for blk in blocks_all[:per_col0] for ln in blk)
+            if len(body_words) - n_col1 >= 6:
+                titles_at[1] = body_words[n_col1:n_col1 + 3]
+                art1_blocks = _chunk(body_words[:n_col1], hyphen=False)
+                art2_blocks = _chunk(body_words[n_col1 + 3:], hyphen=False)
+                per_col2 = -(-len(art2_blocks) // (n_cols - 1))
+                col_plan = [art1_blocks] + [
+                    art2_blocks[i * per_col2: (i + 1) * per_col2]
+                    for i in range(n_cols - 1)
+                ]
+            else:
+                multi_article = False
+        if not titles_at:
+            blocks = _chunk(body_words, hyphen=True)
+            per_col = -(-len(blocks) // n_cols)  # ceil
+            col_plan = [blocks[ci * per_col: (ci + 1) * per_col] for ci in range(n_cols)]
+
         pitch = s + s // 2
         for ci in range(n_cols):
             x0 = MARGIN + ci * (col_w + GUTTER)
             y = y_body
+            if ci in titles_at:
+                t2 = em.block([titles_at[ci]], x0, y, p["title_size"],
+                              p["title_size"] * 3 // 5, word_gap=cw)
+                y = t2[3] + s
+                body_bottom = max(body_bottom, t2[3])
             if noisy and ci == 0:
                 em.pad_right, em.pad_bottom = GUTTER + 5, s // 2
-            for blines in blocks[ci * per_col: (ci + 1) * per_col]:
+            for blines in col_plan[ci]:
                 bb = em.block(blines, x0, y, s, cw)
                 y = bb[3] + s
                 body_bottom = max(body_bottom, bb[3])

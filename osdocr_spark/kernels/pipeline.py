@@ -49,8 +49,15 @@ def extract_document(doc: Document, conf: int = 10) -> dict:
         order = sort_topologic_order(doc, graph, sort_weight=True)
         articles = graph_isolate_articles(doc, order)
 
-    raw = "".join(article_to_txt(assemble_article(doc, art)) for art in articles)
+    assembled = [assemble_article(doc, art) for art in articles]
+    raw = "".join(article_to_txt(a) for a in assembled)
     norm = document_text(doc, articles, normalize=True)
+    article_rows = [
+        (idx,
+         (a["title"] or "").strip(),
+         "".join(payload for kind, payload in a["body"] if kind == "text").strip())
+        for idx, a in enumerate(assembled)
+    ]
 
     # per-block character spans over the normalized text: the normalized
     # text is the ' '-joined confident word stream in emission order with
@@ -116,6 +123,7 @@ def extract_document(doc: Document, conf: int = 10) -> dict:
         "reading_order": [int(doc.b_id[i]) for i in order],
         "spans": spans,
         "block_types": [str(t) for t in doc.b_type],
+        "article_rows": article_rows,
     }
 
 

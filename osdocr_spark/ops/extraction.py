@@ -16,8 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import functions as _F
+
 from ..spark.jobs import load_pages
-from ..spark.stages import URL_DOMAINS, blocks_from_pages, extract_pages
+from ..spark.stages import (URL_DOMAINS, articles_from_pages, blocks_from_pages,
+                            extract_pages)
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -44,6 +47,24 @@ def extract_text_noisy(spark, sf_dir):
     so extraction still returns the byte-identical normalized text."""
     return (extract_pages(load_pages(spark, sf_dir, noisy=True), clean=True)
             .select("url", "text"))
+
+
+def extract_multi_articles(spark, sf_dir):
+    """Article-isolation gauntlet: the multi-article layout plants a second
+    headline at the top of column 2; ``graph_isolate_articles`` must cut
+    exactly there and concatenated article emission must still reproduce the
+    source text byte-for-byte."""
+    return (extract_pages(load_pages(spark, sf_dir, multi_article=True))
+            .select("url", "text"))
+
+
+def extract_article_titles(spark, sf_dir):
+    """First-article titles over the multi-article corpus: the first
+    article's headline is always the leading ``title_n`` source words — an
+    arithmetic oracle over the articles output table."""
+    arts = articles_from_pages(load_pages(spark, sf_dir, multi_article=True))
+    return (arts.where(F.col("article_idx") == 0)
+            .select("url", F.regexp_replace(F.trim("title"), r"\s+", " ").alias("title")))
 
 
 def extract_stats(spark, sf_dir):
@@ -108,9 +129,21 @@ FROM documents
 """
 
 
+_O_TITLES = f"""
+SELECT {_URL_SQL} AS url,
+       array_to_string(
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')[
+           1 : CASE WHEN len(string_split(text, ' ')) < 24 THEN 2 ELSE 4 END],
+         ' ') AS title
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_text": extract_text,
     "extract_text_noisy": extract_text_noisy,
+    "extract_multi_articles": extract_multi_articles,
+    "extract_article_titles": extract_article_titles,
     "extract_stats": extract_stats,
     "extract_reading_order": extract_reading_order,
     "extract_spans": extract_spans,
@@ -121,6 +154,8 @@ QUERIES = {
 ORACLES = {
     "extract_text": _O_TEXT,
     "extract_text_noisy": _O_TEXT,
+    "extract_multi_articles": _O_TEXT,
+    "extract_article_titles": _O_TITLES,
     "extract_stats": _O_STATS,
     "extract_boilerplate_stats": _O_BOILER,
 }

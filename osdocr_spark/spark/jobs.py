@@ -31,7 +31,7 @@ __all__ = ["run_extract_job", "load_pages"]
 
 
 def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = None,
-               salt: int = 0, noisy: bool = False) -> DataFrame:
+               salt: int = 0, noisy: bool = False, multi_article: bool = False) -> DataFrame:
     """Synthesize the Common-Crawl-shaped ``pages`` table from the driver's
     ``documents`` parquet (no external data), salted-repartitioned for the
     per-document kernels."""
@@ -41,7 +41,7 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
         # the Arrow kernels run on one core regardless of cluster size
         num_partitions = spark.sparkContext.defaultParallelism * 2
     docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
-    return pages_from_documents(docs, noisy=noisy)
+    return pages_from_documents(docs, noisy=noisy, multi_article=multi_article)
 
 
 def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,

@@ -82,7 +82,8 @@ def url_for_doc(doc_id: int) -> str:
     return URL_FMT.format(dom=doc_id % URL_DOMAINS, doc_id=doc_id)
 
 
-def pages_from_documents(documents: DataFrame, noisy: bool = False) -> DataFrame:
+def pages_from_documents(documents: DataFrame, noisy: bool = False,
+                         multi_article: bool = False) -> DataFrame:
     """``documents(doc_id, text, lang)`` → Common-Crawl-shaped ``pages``
     table (BASELINE.json input_hint schema).  Deterministic: html rendered by
     the seedless arithmetic layout generator; ``warc_ts`` = epoch 2024-01-01
@@ -94,7 +95,7 @@ def pages_from_documents(documents: DataFrame, noisy: bool = False) -> DataFrame
             yield pd.DataFrame({
                 "url": [url_for_doc(int(d)) for d in pdf["doc_id"]],
                 "warc_ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s"),
-                "html": [generate_page(int(d), t, noisy=noisy)
+                "html": [generate_page(int(d), t, noisy=noisy, multi_article=multi_article)
                          for d, t in zip(pdf["doc_id"], pdf["text"])],
                 "text": pdf["text"],
                 "lang": pdf["lang"],
@@ -166,6 +167,31 @@ def extract_documents_fused(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
 
     return documents.select("doc_id", "text").mapInPandas(run, EXTRACTED_SCHEMA)
+
+
+ARTICLES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("article_idx", T.IntegerType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("body", T.StringType()),
+])
+
+
+def articles_from_pages(pages: DataFrame, clean: bool = False) -> DataFrame:
+    """UDTF-shaped article table: one page row -> N article rows (title +
+    joined text body), the ``articles`` output table of SURVEY.md §1.5
+    (``Article`` assembly, ``article.py:45-139``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                r = extract_html(url, bytes(html), clean=clean)
+                for idx, title, body in r["article_rows"]:
+                    rows.append((url, idx, title, body))
+            yield pd.DataFrame(rows, columns=[f.name for f in ARTICLES_SCHEMA.fields])
+
+    return pages.select("url", "html").mapInPandas(run, ARTICLES_SCHEMA)
 
 
 def blocks_from_pages(pages: DataFrame, categorize: bool = True) -> DataFrame:
