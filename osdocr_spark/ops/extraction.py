@@ -67,6 +67,51 @@ def extract_article_titles(spark, sf_dir):
             .select("url", F.regexp_replace(F.trim("title"), r"\s+", " ").alias("title")))
 
 
+def order_paths_agree(spark, sf_dir):
+    """Cross-validation of the three reading-order implementations: the
+    attraction-graph path (``order.py``, production), the position-only
+    naive path and the context naive path (``order_naive.py``, legacy) must
+    produce identical orders on the corpus — three independent algorithms
+    corroborating the reading order the byte-parity oracle depends on."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pages = load_pages(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.classify import boilerplate_mask, categorize_blocks
+        from ..kernels.hocr import parse_hocr
+        from ..kernels.order import sort_topologic_order, topologic_order_context
+        from ..kernels.order_naive import (reading_order_naive,
+                                           reading_order_naive_context)
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                doc = parse_hocr(bytes(html), url=url)
+                categorize_blocks(doc)
+                bp = boilerplate_mask(doc)
+                main = [i for i in range(doc.n_blocks()) if not bp[i]]
+                graph = topologic_order_context(doc, main)
+                go = sort_topologic_order(doc, graph, sort_weight=True) if graph else []
+                rows.append((url,
+                             reading_order_naive(doc, main) == go,
+                             reading_order_naive_context(doc, main) == go))
+            yield pd.DataFrame(rows, columns=["url", "naive_matches", "context_matches"])
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("naive_matches", T.BooleanType()),
+                           T.StructField("context_matches", T.BooleanType())])
+    return pages.select("url", "html").mapInPandas(run, schema)
+
+
+_O_ORDER_AGREE = f"""
+SELECT {_URL_SQL} AS url, TRUE AS naive_matches, TRUE AS context_matches
+FROM documents
+"""
+
+
 def extract_stats(spark, sf_dir):
     """Layout stats with arithmetic oracles: detected normal text size must
     equal the generator's size class; article isolation must yield exactly
@@ -144,6 +189,7 @@ QUERIES = {
     "extract_text_noisy": extract_text_noisy,
     "extract_multi_articles": extract_multi_articles,
     "extract_article_titles": extract_article_titles,
+    "order_paths_agree": order_paths_agree,
     "extract_stats": extract_stats,
     "extract_reading_order": extract_reading_order,
     "extract_spans": extract_spans,
@@ -156,6 +202,7 @@ ORACLES = {
     "extract_text_noisy": _O_TEXT,
     "extract_multi_articles": _O_TEXT,
     "extract_article_titles": _O_TITLES,
+    "order_paths_agree": _O_ORDER_AGREE,
     "extract_stats": _O_STATS,
     "extract_boilerplate_stats": _O_BOILER,
 }

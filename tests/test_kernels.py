@@ -193,3 +193,26 @@ def test_article_to_md():
     assert md.startswith("# Big News")
     assert "merge done." in md
     assert "![image](image)" in md
+
+
+def test_naive_reading_order_matches_graph_on_columns():
+    """The legacy position-only path (ocr_tree_analyser.py:730-855) agrees
+    with the graph path on a clean title + 2-column layout; the context
+    variant (:993-1083) does too."""
+    from osdocr_spark.kernels.classify import categorize_blocks
+    from osdocr_spark.kernels.order import sort_topologic_order, topologic_order_context
+    from osdocr_spark.kernels.order_naive import (reading_order_naive,
+                                                  reading_order_naive_context)
+    blocks = [((100, 900, 50, 100), [(50, "Big Title", 50)])]
+    for col in range(2):
+        x0 = 100 + col * 450
+        for bi in range(3):
+            y0 = 150 + bi * 120
+            blocks.append(((x0, x0 + 400, y0, y0 + 80),
+                           [(y0 + k * 28, "xx yy zz ww", 20) for k in range(3)]))
+    doc = _make_doc(blocks)
+    categorize_blocks(doc)
+    graph = topologic_order_context(doc, list(range(doc.n_blocks())))
+    graph_order = sort_topologic_order(doc, graph, sort_weight=True)
+    assert reading_order_naive(doc, list(range(doc.n_blocks()))) == graph_order
+    assert reading_order_naive_context(doc, list(range(doc.n_blocks()))) == graph_order
