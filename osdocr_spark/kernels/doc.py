@@ -236,6 +236,62 @@ class Document:
                 out.append(wd)
         return "".join(out)
 
+    def block_is_text_width(self, bi: int, text_width: float, mean_width: float | None = None,
+                            rng: float = 0.3, conf: int = -1) -> bool:
+        """``is_text_width`` (``ocr_tree.py:561-568``)."""
+        mw = mean_width if mean_width else self.block_char_mean_width(bi, conf)
+        return text_width * (1 - rng) <= mw <= text_width * (1 + rng)
+
+    def block_text_is_title(self, bi: int, normal_text_size: float,
+                            conf: int = 0, rng: float = 0.1) -> bool:
+        """``text_is_title`` (``ocr_tree.py:579-585``): not vertical, not
+        normal-sized, and at least normal height."""
+        mh = self.block_mean_word_height(bi)
+        return (not self.block_is_vertical_text(bi, conf)
+                and not self.block_is_text_size(bi, normal_text_size, rng=rng)
+                and mh >= normal_text_size)
+
+    def conf_sum(self, bi: int | None = None) -> tuple[int, int]:
+        """(Σ conf, count) partial aggregate (``conf_sum``,
+        ``ocr_tree.py:1109-1120`` — literally a hand-written partial+final
+        agg; here one vectorized sum)."""
+        sel = self.words_of(bi) if bi is not None else np.arange(len(self.w_conf))
+        return int(self.w_conf[sel].sum()), int(len(sel))
+
+    def get_delimiters(self, search_area: np.ndarray | None = None,
+                       orientation: str | None = None, conf: int = 0) -> list[int]:
+        """Delimiter blocks, optionally restricted to an area / orientation
+        (``get_delimiters``, ``ocr_tree.py:671-686``)."""
+        out = []
+        for bi in range(self.n_blocks()):
+            if not self.block_is_delimiter(bi, conf=conf):
+                continue
+            if search_area is not None and not bool(g.is_inside(self.b_box[bi], search_area)):
+                continue
+            if orientation:
+                w = int(g.width(self.b_box[bi]))
+                h = int(g.height(self.b_box[bi]))
+                o = "horizontal" if w > h else ("vertical" if w < h else "square")
+                if o != orientation:
+                    continue
+            out.append(bi)
+        return out
+
+    def blocks_intersect_area(self, area: np.ndarray, area_ratio: float = 0.0,
+                              ignore_type: tuple = ()) -> np.ndarray:
+        """Blocks intersecting ``area`` with a minimum overlap ratio
+        (``get_boxes_intersect_area``, ``ocr_tree.py:739-762``)."""
+        hit = g.intersects(self.b_box, area[None, :], inside=True)
+        if area_ratio > 0:
+            ov = g.overlap_area(self.b_box, area[None, :]).astype(np.float64)
+            ba = np.maximum(g.area(self.b_box), 0)
+            ratio = np.where(ba > 0, ov / np.maximum(ba, 1), 1.0)
+            hit = hit & ((ba == 0) | (ratio >= area_ratio))
+        if ignore_type:
+            tmask = np.fromiter((t not in ignore_type for t in self.b_type), bool, len(self.b_type))
+            hit = hit & tmask
+        return np.nonzero(hit)[0]
+
     def blocks_in_area(self, area: np.ndarray, ignore_type: tuple = ()) -> np.ndarray:
         """Block indices fully inside ``area`` (``get_boxes_in_area``,
         ``ocr_tree.py:725-736``)."""

@@ -38,7 +38,7 @@ __all__ = [
     "remove_nodes_conf", "remove_empty_boxes", "text_bound_box_fix",
     "block_bound_box_fix", "split_block", "split_whitespaces",
     "delimiters_fix", "unite_blocks", "remove_solo_words", "find_text_titles",
-    "join_blocks", "translate_doc", "scale_doc", "prune_children_area",
+    "join_blocks", "remove_blocks_inside", "translate_doc", "scale_doc", "prune_children_area",
     "clean_doc",
 ]
 
@@ -693,6 +693,17 @@ def find_text_titles(blocks: list[MBlock], normal_text_size: float,
                 break
             prev_text = " ".join(w.text for w in ws_ok).strip()
     return [b for b in out if b.words or b.type in ("delimiter", "image") or b.is_empty()]
+
+
+def remove_blocks_inside(blocks: list[MBlock], container_id: int) -> list[MBlock]:
+    """Delete blocks fully contained in the given block
+    (``remove_blocks_inside``, ``ocr_tree.py:1096-1106``)."""
+    cont = next((b for b in blocks if b.id == container_id), None)
+    if cont is None:
+        return blocks
+    nc = cont.nparray()
+    return [b for b in blocks
+            if b is cont or not bool(g.is_inside(b.nparray(), nc))]
 
 
 def translate_doc(doc: Document, dx: int, dy: int) -> Document:

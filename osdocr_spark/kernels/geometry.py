@@ -228,6 +228,31 @@ def distance_to(a: np.ndarray, b: np.ndarray, border: str | None = None) -> np.n
     return np.hypot(d[..., 0], d[..., 1])
 
 
+def distance_to_point(b: np.ndarray, x: float, y: float) -> float:
+    """Point-to-box distance, 0 inside (``Box.distance_to_point``,
+    ``box.py:425-430``)."""
+    import math
+    cx = (b[L] + b[R]) / 2.0
+    cy = (b[T] + b[B]) / 2.0
+    dx = abs(cx - x) - (b[R] - b[L]) * 0.5
+    dy = abs(cy - y) - (b[B] - b[T]) * 0.5
+    return math.hypot(dx if dx > 0 else 0.0, dy if dy > 0 else 0.0)
+
+
+def closest_edge_point(b: np.ndarray, x: float, y: float) -> tuple[float, float]:
+    """Nearest point on the box border to (x, y) (``Box.closest_edge_point``,
+    ``box.py:443-480`` — clamp to the box, then project interior points to
+    the nearest edge)."""
+    px = min(max(float(x), float(b[L])), float(b[R]))
+    py = min(max(float(y), float(b[T])), float(b[B]))
+    if b[L] < px < b[R] and b[T] < py < b[B]:
+        # inside: snap to the nearest of the four edges
+        d = [(px - b[L], (float(b[L]), py)), (b[R] - px, (float(b[R]), py)),
+             (py - b[T], (px, float(b[T]))), (b[B] - py, (px, float(b[B])))]
+        return min(d, key=lambda t: t[0])[1]
+    return px, py
+
+
 def remove_box_area(b: np.ndarray, cut: np.ndarray) -> np.ndarray:
     """Shrink ``b`` until disjoint from ``cut``, repeatedly trimming the side
     that loses the least area (``Box.remove_box_area``, ``box.py:248-297``).

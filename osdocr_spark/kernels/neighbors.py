@@ -17,7 +17,8 @@ import numpy as np
 
 from . import geometry as g
 
-__all__ = ["directly_below", "directly_right", "directly_above", "below", "right"]
+__all__ = ["directly_below", "directly_right", "directly_above",
+           "below", "right", "above", "left"]
 
 
 def _strip_extended_vertical(bb: np.ndarray, i: int, all_bottom: int) -> np.ndarray:
@@ -47,6 +48,27 @@ def right(bb: np.ndarray, i: int, cand: np.ndarray) -> np.ndarray:
     eb[g.L] = 0
     eb[g.R] = int(bb[cand, g.R].max())
     hit = (bb[cand, g.L] > bb[i, g.L]) & g.intersects(bb[cand], eb[None, :])
+    return cand[hit]
+
+
+def above(bb: np.ndarray, i: int, cand: np.ndarray) -> np.ndarray:
+    """``boxes_above`` (``ocr_tree.py:839-850``): candidates with
+    ``bottom < target.bottom`` intersecting the vertical strip extension."""
+    if len(cand) == 0:
+        return cand
+    eb = _strip_extended_vertical(bb, i, int(bb[cand, g.B].max()))
+    hit = (bb[cand, g.B] < bb[i, g.B]) & g.intersects(bb[cand], eb[None, :])
+    return cand[hit]
+
+
+def left(bb: np.ndarray, i: int, cand: np.ndarray) -> np.ndarray:
+    """``boxes_left`` (``ocr_tree.py:852-863``)."""
+    if len(cand) == 0:
+        return cand
+    eb = bb[i].copy()
+    eb[g.L] = 0
+    eb[g.R] = int(bb[cand, g.R].max())
+    hit = (bb[cand, g.R] < bb[i, g.R]) & g.intersects(bb[cand], eb[None, :])
     return cand[hit]
 
 

@@ -216,3 +216,34 @@ def test_naive_reading_order_matches_graph_on_columns():
     graph_order = sort_topologic_order(doc, graph, sort_weight=True)
     assert reading_order_naive(doc, list(range(doc.n_blocks()))) == graph_order
     assert reading_order_naive_context(doc, list(range(doc.n_blocks()))) == graph_order
+
+
+def test_small_operator_parity_helpers():
+    """Directional selects, point distances, intersect-area selects, and the
+    small tree predicates (SURVEY.md §2.2-2.4 long tail)."""
+    import numpy as np
+    from osdocr_spark.kernels import geometry as g
+    from osdocr_spark.kernels import neighbors as nb
+    bb = np.array([[0, 100, 0, 50], [0, 100, 100, 150], [200, 300, 0, 50]], np.int64)
+    cand = np.array([1, 2], np.int64)
+    # vertical strip extension requires x-overlap: block 2 (x 200-300) is
+    # outside block 1's strip; horizontal extension requires y-overlap
+    assert list(nb.above(bb, 1, np.array([0, 2]))) == [0]
+    assert list(nb.left(bb, 2, np.array([0, 1]))) == [0]
+    assert list(nb.below(bb, 0, cand)) == [1]
+    assert g.distance_to_point(bb[0], 50, 25) == 0.0
+    assert g.distance_to_point(bb[0], 150, 25) == 50.0
+    assert g.closest_edge_point(bb[0], 150, 25) == (100.0, 25.0)
+    assert g.closest_edge_point(bb[0], 10, 25) == (0.0, 25.0)
+
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.hocr import parse_hocr
+    doc = parse_hocr(generate_page(0, "the fast key order sort table scan " * 8))
+    s, c = doc.conf_sum()
+    assert c == len(doc.w_text) and s == 95 * c
+    delims = doc.get_delimiters(orientation="vertical")
+    assert all(doc.block_is_delimiter(d) for d in delims)
+    area = np.array([0, 2000, 0, 40], np.int64)  # header band
+    hits = doc.blocks_intersect_area(area)
+    assert 0 in hits
+
