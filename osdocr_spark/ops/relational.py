@@ -364,8 +364,61 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_props_extract(spark, sf_dir):
+    """Semi-structured payload extraction: pull the numeric field out of the
+    events ``props`` JSON blob with portable regex (web-scale logs shape)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"\d+", 0).cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.round(F.sum(k.cast("decimal(18,4)")), 4).cast("double").alias("sum_k"),
+                 F.count("*").alias("n")))
+
+
+_O_PROPS = """
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(CAST(regexp_extract(props, '\\d+') AS BIGINT) AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_grouped_pandas(spark, sf_dir):
+    """``groupBy().applyInPandas`` surface (SURVEY §2.12): per-language
+    word-length histogram computed by a grouped Arrow kernel (np.bincount
+    inside), equivalent to a relational unnest+group — which is exactly what
+    the oracle does."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        lens = np.concatenate([
+            np.fromiter((len(w) for w in t.split(" ")), dtype=np.int64)
+            for t in pdf["text"]
+        ]) if len(pdf) else np.empty(0, np.int64)
+        counts = np.bincount(lens) if len(lens) else np.empty(0, np.int64)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"lang": pdf["lang"].iloc[0],
+                             "word_len": nz.astype("int32"),
+                             "freq": counts[nz]})
+
+    schema = "lang string, word_len int, freq long"
+    return docs.groupBy("lang").applyInPandas(hist, schema)
+
+
+_O_GROUPED = """
+SELECT lang, CAST(strlen(w) AS INT) AS word_len, COUNT(*) AS freq
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY lang, word_len
+"""
+
+
 QUERIES = {
     "q_filter_project": q_filter_project,
+    "q_props_extract": q_props_extract,
+    "q_grouped_pandas": q_grouped_pandas,
     "q_agg_pricing": q_agg_pricing,
     "q_join_topk": q_join_topk,
     "q_broadcast_join": q_broadcast_join,
@@ -384,6 +437,8 @@ QUERIES = {
 
 ORACLES = {
     "q_filter_project": _O_FILTER,
+    "q_props_extract": _O_PROPS,
+    "q_grouped_pandas": _O_GROUPED,
     "q_agg_pricing": _O_AGG,
     "q_join_topk": _O_JOIN_TOPK,
     "q_broadcast_join": _O_BCAST,
