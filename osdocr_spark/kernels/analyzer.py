@@ -43,16 +43,23 @@ def get_text_sizes(doc: Document, conf: int = 10) -> dict:
             continue
         if doc.block_is_vertical_text(bi, conf=conf):
             continue
-        keys, lboxes, _ = doc.line_table(bi)
-        wi_all = doc.words_of(bi)
-        for li in range(len(keys)):
-            lm = (doc.w_par[wi_all] == keys[li, 0]) & (doc.w_line[wi_all] == keys[li, 1])
-            wsel = wi_all[lm & (doc.w_conf[wi_all] >= conf)]
-            if len(wsel) == 0:
-                continue
-            lmh = int(round(float(g.height(doc.w_box[wsel]).mean())))
-            nwords = sum(1 for i in wsel if doc.w_text[i].strip())
-            sizes.append((lmh, 1 + nwords))
+        wi = doc.words_of(bi)
+        wsel = wi[doc.w_conf[wi] >= conf]
+        if len(wsel) == 0:
+            continue
+        # per-line mean word height + stripped-word count in one bincount pass
+        key = doc.w_par[wsel] * 1_000_000 + doc.w_line[wsel]
+        uniq, inv = np.unique(key, return_inverse=True)
+        h = g.height(doc.w_box[wsel]).astype(np.float64)
+        hsum = np.bincount(inv, weights=h, minlength=len(uniq))
+        cnt = np.bincount(inv, minlength=len(uniq))
+        nonblank = np.fromiter((bool(doc.w_text[i].strip()) for i in wsel),
+                               dtype=np.float64, count=len(wsel))
+        nwords = np.bincount(inv, weights=nonblank, minlength=len(uniq))
+        means = hsum / cnt
+        for li in range(len(uniq)):
+            # banker's rounding like the reference's round() on the float mean
+            sizes.append((int(round(float(means[li]))), 1 + int(nwords[li])))
 
     out = {"normal_text_size": 0}
     if not sizes:
@@ -131,17 +138,20 @@ def get_journal_areas(doc: Document) -> dict:
     tops: list[int] = []
     wts: list[int] = []
     for bi in range(doc.n_blocks()):
-        keys, lboxes, counts = doc.line_table(bi)
-        wi_all = doc.words_of(bi)
-        for li in range(len(keys)):
-            lm = (doc.w_par[wi_all] == keys[li, 0]) & (doc.w_line[wi_all] == keys[li, 1])
-            wsel = wi_all[lm]
-            has_text = any(doc.w_conf[i] >= 1 and doc.w_text[i].strip() for i in wsel)
-            if not has_text:
-                continue
-            nwords = sum(1 for i in wsel if doc.w_conf[i] >= 1 and doc.w_text[i].strip())
-            tops.append(int(lboxes[li, g.T]))
-            wts.append(1 + nwords)
+        wi = doc.words_of(bi)
+        if len(wi) == 0:
+            continue
+        key = doc.w_par[wi] * 1_000_000 + doc.w_line[wi]
+        uniq, inv = np.unique(key, return_inverse=True)
+        tmin = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(tmin, inv, doc.w_box[wi, g.T])
+        ok = (doc.w_conf[wi] >= 1) & np.fromiter(
+            (bool(doc.w_text[i].strip()) for i in wi), dtype=bool, count=len(wi))
+        nwords = np.bincount(inv, weights=ok.astype(np.float64), minlength=len(uniq))
+        for li in range(len(uniq)):
+            if nwords[li] > 0:
+                tops.append(int(tmin[li]))
+                wts.append(1 + int(nwords[li]))
     areas = {"header": None, "body": None, "footer": None}
     if not tops:
         return areas
@@ -189,21 +199,17 @@ def analyze_text(doc: Document, conf: int = 10) -> dict:
     res["columns"] = get_columns(doc)
 
     # average word distance: per line, successive lefts minus previous rights
-    dist_sum = 0.0
-    dist_cnt = 0
-    for bi in range(doc.n_blocks()):
-        wi = doc.words_of(bi)
-        if len(wi) == 0:
-            continue
-        key = doc.w_par[wi] * 1_000_000 + doc.w_line[wi]
-        conf_ok = doc.w_conf[wi] >= conf
-        for k in np.unique(key):
-            sel = wi[(key == k) & conf_ok]
-            if len(sel) >= 2:
-                gaps = doc.w_box[sel[1:], g.L] - doc.w_box[sel[:-1], g.R]
-                dist_sum += float(gaps.sum())
-                dist_cnt += len(gaps)
-    res["average_word_distance"] = dist_sum / dist_cnt if dist_cnt else 0.0
+    # (words are in pre-order, so consecutive same-line words are adjacent —
+    # one vectorized diff over the whole confident word stream)
+    sel = np.nonzero(doc.w_conf >= conf)[0]
+    if len(sel) >= 2:
+        key = (doc.w_block[sel].astype(np.int64) * 1_000_000_000_000
+               + doc.w_par[sel] * 1_000_000 + doc.w_line[sel])
+        same_line = key[1:] == key[:-1]
+        gaps = (doc.w_box[sel[1:], g.L] - doc.w_box[sel[:-1], g.R])[same_line]
+        res["average_word_distance"] = float(gaps.sum()) / len(gaps) if len(gaps) else 0.0
+    else:
+        res["average_word_distance"] = 0.0
 
     # average character width over all confident words
     sel = np.nonzero(doc.w_conf >= conf)[0]
