@@ -38,8 +38,11 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if num_partitions is None:
         # a small single-file parquet scans as ONE partition — without this
-        # the Arrow kernels run on one core regardless of cluster size
-        num_partitions = spark.sparkContext.defaultParallelism * 2
+        # the Arrow kernels run on one core regardless of cluster size.
+        # 4× overcommit: per-doc extraction cost varies with text length, so
+        # finer tasks let the scheduler absorb stragglers (measured ~2× wall
+        # at sf0.1/local[32] vs 2× overcommit)
+        num_partitions = spark.sparkContext.defaultParallelism * 4
     docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
     return pages_from_documents(docs, noisy=noisy, multi_article=multi_article)
 
