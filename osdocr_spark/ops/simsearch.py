@@ -164,14 +164,129 @@ WHERE rn <= 3
 """
 
 
+K_IVF = 16          # coarse-quantizer lists
+CENT_STRIDE = 31    # centroid c = embedding of vec_id 31·c (exists at every SF)
+NPROBE = 2
+IVF_TOPK = 3
+
+
+def _ivf_centroids(spark, sf_dir) -> dict[int, list[float]]:
+    """Deterministic IVF "training": centroid ``c`` is the embedding of
+    vec_id ``31·c``.  A real deployment would k-means a driver-side sample —
+    the collect-tiny-then-broadcast shape is identical; 16×64 doubles."""
+    rows = (_emb(spark, sf_dir)
+            .where((F.col("vec_id") % CENT_STRIDE == 0)
+                   & (F.col("vec_id") < CENT_STRIDE * K_IVF))
+            .select("vec_id", "embedding").collect())
+    return {int(r["vec_id"]) // CENT_STRIDE: [float(x) for x in r["embedding"]]
+            for r in rows}
+
+
+def _centroid_scores(cents: dict[int, list[float]]):
+    """Per-centroid cosine columns against ``embedding`` — literal centroid
+    arrays folded into the projection, so assignment is a NARROW map (no
+    shuffle, no join): the pattern that matters at 10^12 rows."""
+    import math
+    norm_v = F.sqrt(F.expr(_NORM.format(col="embedding")))
+    structs = []
+    for c in sorted(cents):
+        vec = cents[c]
+        arr = "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in vec) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr},"
+               " (x, y) -> CAST(x AS DOUBLE) * y),"
+               " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        ncent = math.sqrt(sum(x * x for x in vec))
+        cos = F.round(F.expr(dot) / (norm_v * F.lit(ncent)), 4)
+        # max of struct(cos, -c) ⇒ highest cos, ties → smallest centroid id
+        structs.append(F.struct(cos.alias("cos"), F.lit(-c).alias("negc")))
+    return F.array(*structs)
+
+
+def s_ann_ivf(spark, sf_dir):
+    """IVF ANN (the second scale path beside LSH): assign every vector to
+    its nearest of 16 deterministic coarse centroids (narrow map over
+    broadcast-literal centroids), probe the query's top-2 lists, exact
+    top-3 cosine within the probed lists.  At 10^12 rows the candidate scan
+    is ~NPROBE/K of the corpus and the probe join is a broadcast."""
+    e = _emb(spark, sf_dir)
+    scores = _centroid_scores(_ivf_centroids(spark, sf_dir))
+    ranked = F.reverse(F.array_sort(scores))
+    assigned = e.withColumn("cent", (-F.element_at(ranked, 1)["negc"]).cast("int"))
+    cand = assigned.select(F.col("vec_id").alias("c_id"),
+                           F.col("embedding").alias("b"), "cent")
+    probes = (assigned.where(F.col("vec_id") % 50 == 0)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("a"),
+                      F.explode(F.slice(ranked, 1, NPROBE)).alias("p"))
+              .select("q_id", "a", (-F.col("p")["negc"]).cast("int").alias("cent")))
+    j = cand.join(F.broadcast(probes), "cent").where(F.col("q_id") != F.col("c_id"))
+    scored = _with_cos(j)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= IVF_TOPK)
+            .select("q_id", "c_id", "cos", "rn"))
+
+
+_O_ANN_IVF = f"""
+WITH cents AS (
+  SELECT CAST(vec_id // {CENT_STRIDE} AS INT) AS cent, embedding AS ce
+  FROM embeddings
+  WHERE vec_id % {CENT_STRIDE} = 0 AND vec_id < {CENT_STRIDE * K_IVF}),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM embeddings, range(1, {DIM + 1}) r(i) GROUP BY vec_id),
+cnorms AS (
+  SELECT cent, SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cnrm
+  FROM cents, range(1, {DIM + 1}) r(i) GROUP BY cent),
+vc AS (
+  SELECT e.vec_id, c.cent,
+         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS dot
+  FROM embeddings e, cents c, range(1, {DIM + 1}) r(i)
+  GROUP BY e.vec_id, c.cent),
+scoredc AS (
+  SELECT vec_id, cent, ROUND(dot / (SQRT(n.nrm) * SQRT(cn.cnrm)), 4) AS ccos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent)),
+assign AS (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent ASC) AS rn
+    FROM scoredc) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, cent FROM (
+    SELECT vec_id, cent,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent ASC) AS rn
+    FROM scoredc WHERE vec_id % 50 = 0) WHERE rn <= {NPROBE}),
+cand AS (
+  SELECT a.vec_id AS c_id, e.embedding AS b, a.cent
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+qv AS (
+  SELECT q_id, cent, e.embedding AS a
+  FROM probes JOIN embeddings e ON q_id = e.vec_id),
+dots AS (
+  SELECT q_id, c_id, SUM(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)) AS dot
+  FROM qv JOIN cand USING (cent), range(1, {DIM + 1}) r(i)
+  WHERE q_id <> c_id
+  GROUP BY q_id, c_id),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 4) AS cos
+  FROM dots JOIN norms nq ON q_id = nq.vec_id JOIN norms nc ON c_id = nc.vec_id)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rn
+  FROM scored)
+WHERE rn <= {IVF_TOPK}
+"""
+
+
 QUERIES = {
     "s_ann_bruteforce": s_ann_bruteforce,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh": s_ann_lsh,
+    "s_ann_ivf": s_ann_ivf,
 }
 
 ORACLES = {
     "s_ann_bruteforce": _O_BRUTE,
     "s_lsh_buckets": _O_LSH_BUCKETS,
     "s_ann_lsh": _O_ANN_LSH,
+    "s_ann_ivf": _O_ANN_IVF,
 }

@@ -176,6 +176,63 @@ FROM documents
 """
 
 
+FRAME_STRIDE = 1024   # byte stride between sampled "frames"
+MAX_FRAMES = 4
+THUMB_BYTES = 16
+
+
+def m_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling stub: treat each document's bytes as an
+    opaque video payload and sample up to 4 frames at a fixed 1024-byte
+    stride.  The frame *decode* is deliberately stubbed (media libs absent)
+    to a deterministic 16-byte hex "thumbnail" slice; the Spark plumbing —
+    binary column in, Arrow-batched ``mapInPandas`` UDTF-shape out (one
+    payload row → N frame rows), typed offsets — is the real production
+    shape for per-frame feature extraction."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _docs(spark, sf_dir).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, offs, thumbs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(MAX_FRAMES):
+                    off = i * FRAME_STRIDE
+                    if off >= len(buf):
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    # stubbed decode: a real pipeline would hand buf[off:...]
+                    # to an image/video codec here
+                    thumbs.append(buf[off:off + THUMB_BYTES].hex().upper())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "byte_offset": offs, "thumb": thumbs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("thumb", T.StringType()),
+    ])
+    return d.mapInPandas(run, schema)
+
+
+# documents are all-ASCII (octet_length(encode(text)) = strlen(text) holds
+# corpus-wide), so char offsets equal byte offsets in the oracle
+_O_FRAMES = f"""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       i * {FRAME_STRIDE} AS byte_offset,
+       hex(encode(substring(text, i * {FRAME_STRIDE} + 1, {THUMB_BYTES}))) AS thumb
+FROM documents, range(0, {MAX_FRAMES}) r(i)
+WHERE i * {FRAME_STRIDE} < strlen(text)
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_quality": t_quality,
@@ -183,9 +240,11 @@ QUERIES = {
     "t_fingerprint": t_fingerprint,
     "t_clean_text": t_clean_text,
     "m_media_meta": m_media_meta,
+    "m_frame_sample": m_frame_sample,
 }
 
 ORACLES = {
+    "m_frame_sample": _O_FRAMES,
     "t_token_count": _O_TOKENS,
     "t_quality": _O_QUALITY,
     "t_lang_score": _O_LANG,

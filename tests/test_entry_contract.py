@@ -21,7 +21,8 @@ SF = "/root/testdata/sf0.001"
 SUBSET = [
     "extract_text", "extract_stats", "extract_boilerplate_stats",
     "q_agg_pricing", "q_join_topk", "q_anti_join", "q_window_lag",
-    "q_set_ops", "d_minhash", "d_simhash", "s_ann_bruteforce", "t_quality",
+    "q_set_ops", "d_minhash", "d_simhash", "s_ann_bruteforce", "s_ann_ivf",
+    "t_quality", "m_frame_sample",
 ]
 
 
