@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -110,21 +110,26 @@ def d_minhash_pairs(spark, sf_dir):
     capped at {BUCKET_CAP}; larger buckets are degenerate shingle floods and
     are skipped — a logged coverage bound, not silent truncation)."""
     sig = d_minhash(spark, sf_dir)
-    # one pass over the signature table: unpivot bands, then materialize —
-    # the (doc_id, band, sig) relation is tiny (4 rows/doc) while its lineage
-    # (shingle explode + 4 md5 min-aggregates) is the expensive part, so
-    # persist to keep the self-join from recomputing it per branch
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"sig_{k}") for k in range(N_BANDS)]))
         .alias("band", "sig"),
-    ).persist()
-    w = Window.partitionBy("band", "sig")
-    small = bands.withColumn("bs", F.count("*").over(w)).where(F.col("bs") <= BUCKET_CAP)
-    a = small.select("band", "sig", F.col("doc_id").alias("a"))
-    b = small.select("band", "sig", F.col("doc_id").alias("b"))
-    return (a.join(b, ["band", "sig"]).where(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    )
+    # one shuffle gathers each LSH bucket, the cap drops degenerate shingle
+    # floods BEFORE any pair exists, and pair-gen is a narrow array expansion
+    # — no self-join, so a hot bucket can never explode a join task.  (An
+    # earlier version materialized buckets via a window + self-join; at
+    # 10^12 docs that join's skewed probe side is exactly the blowup the
+    # cap is there to prevent.)
+    buckets = (bands.groupBy("band", "sig")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+               .where((F.size("ids") > 1) & (F.size("ids") <= BUCKET_CAP)))
+    pair_expr = """
+    flatten(transform(ids, (x, i) ->
+      transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+    """
+    return (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.a", "p.b").distinct())
 
 
 _O_MINHASH_PAIRS = f"""
