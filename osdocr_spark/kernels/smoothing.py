@@ -22,6 +22,7 @@ Everything is deterministic float64 numpy.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from math import comb
 
@@ -82,6 +83,25 @@ def _cholesky_band(n: int, lmbda: float, order: int) -> tuple:
     return tuple(map(tuple, lband))
 
 
+def _factor_cache_dir() -> str | None:
+    """Shared on-disk home for dense inverses — the single-box stand-in for
+    broadcasting precomputed smoother factors to executors (on a cluster
+    these ~6 MB arrays would ship once as a broadcast variable; here every
+    fresh Python worker process would otherwise pay the same O(n³)
+    inversions).  Purely a cache of a deterministic pure function of
+    (n, λ, d) — loads are bit-identical to recomputation."""
+    import tempfile
+    d = os.environ.get("OSDOCR_FACTOR_CACHE",
+                       os.path.join(tempfile.gettempdir(), "osdocr_whittaker_v1"))
+    if d == "off":
+        return None
+    try:
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 @lru_cache(maxsize=24)
 def _dense_inverse(n: int, lmbda: float, order: int) -> np.ndarray:
     """Dense (I + λDᵀD)⁻¹ for histogram-sized systems: one cached O(n³)
@@ -90,6 +110,14 @@ def _dense_inverse(n: int, lmbda: float, order: int) -> np.ndarray:
     cache hit rate is ~100% after warmup.  The system matrix is assembled
     from its analytic band (O(n·d)) — building it via ``DᵀD`` matmul costs
     3× the inversion itself at n≈1000."""
+    cache_dir = _factor_cache_dir()
+    fname = None
+    if cache_dir is not None:
+        fname = os.path.join(cache_dir, f"inv_{n}_{lmbda!r}_{order}.npy")
+        try:
+            return np.load(fname)
+        except (OSError, ValueError):
+            pass
     band = _system_band(n, lmbda, order)
     A = np.zeros((n, n), dtype=np.float64)
     idx = np.arange(n)
@@ -98,7 +126,15 @@ def _dense_inverse(n: int, lmbda: float, order: int) -> np.ndarray:
         i = idx[: n - k]
         A[i, i + k] = band[k, : n - k]
         A[i + k, i] = band[k, : n - k]
-    return np.linalg.inv(A)
+    inv = np.linalg.inv(A)
+    if fname is not None:
+        try:
+            tmp = f"{fname}.{os.getpid()}.tmp"
+            np.save(tmp, inv)
+            os.replace(tmp, fname)  # atomic: concurrent workers race safely
+        except OSError:
+            pass
+    return inv
 
 
 _DENSE_MAX_N = 2048
