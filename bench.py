@@ -118,33 +118,70 @@ def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     return out
 
 
-def scaling(sf_dir: str = SF_DIR, replicate: int = 8) -> dict:
+def _canary_work(_):
+    import hashlib
+    h = b"x" * 4096
+    for _i in range(20000):
+        h = hashlib.md5(h).digest() + h[:4088]
+    return 1
+
+
+def _cpu_canary() -> dict:
+    """Raw parallel-capacity control: fixed md5 work in 1 vs 32 processes.
+    Per-proc parity ≈ 1.0 proves the box itself (cores, clocks, steal) adds
+    no scaling penalty — any Spark-job loss is then job- or box-memory-side,
+    and a noisy window (external steal) shows up as parity ≪ 1."""
+    import multiprocessing as mp
+
+    work = _canary_work
+    rates = {}
+    for k in (1, 32):
+        best = 0.0
+        for _ in range(3):  # best of 3: a single noisy window can't fake a slow box
+            with mp.Pool(k) as p:
+                t0 = time.time()
+                p.map(work, range(k * 4))
+                best = max(best, k * 4 / (time.time() - t0) / k)
+        rates[k] = best
+    return {"per_proc_1": round(rates[1], 2), "per_proc_32": round(rates[32], 2),
+            "parity": round(rates[32] / rates[1], 3)}
+
+
+def scaling(sf_dir: str = SF_DIR, replicate: int = 8, reps: int = 3) -> dict:
     """Same job at N and 4N parallelism levels → scaling efficiency.
 
     Measures the scan-fused extraction (one Python stage — the production
     plan shape) over the documents table replicated 8× (~40k docs at sf0.1),
     after a warmup pass that spins up workers and populates kernel caches.
-    Two N→4N pairs are reported: 4→16 (cores left for the shared JVM, clocks
-    comparable) and 8→32 (fully saturating the 32-core box, where all-core
-    turbo drop and JVM sharing depress the 4N point — effects a multi-node
-    cluster does not have).
+    This box shows ±20% wall-clock drift between identical runs (shared VM),
+    so each config takes the MIN of ``reps`` interleaved measured runs (the
+    least-interference estimator), and an md5 multiprocessing canary
+    documents that raw CPU capacity itself scales at parity.
     """
+    canary = _cpu_canary()
     results = {}
-    for cpus in (4, 16, 8, 32):
-        spark = _fresh_spark(cpus)
-        # warm the JVM + python workers once, then measure
-        _run_extraction_fused(spark, sf_dir, 1, cpus)
-        wall, n = _run_extraction_fused(spark, sf_dir, replicate, cpus)
-        results[cpus] = {"wall_s": round(wall, 2), "docs": n,
-                         "docs_per_sec": round(n / wall, 1)}
+    # one SparkContext per process → recreate the session per measurement;
+    # reps are interleaved across configs so slow windows hit all configs
+    walls: dict[int, list[float]] = {c: [] for c in (4, 16, 8, 32)}
+    for _rep in range(reps):
+        for cpus in (4, 16, 8, 32):
+            spark = _fresh_spark(cpus)
+            _run_extraction_fused(spark, sf_dir, 1, cpus)  # warm workers
+            w, n = _run_extraction_fused(spark, sf_dir, replicate, cpus)
+            walls[cpus].append(w)
+            results[cpus] = {"wall_s": round(min(walls[cpus]), 2), "docs": n,
+                             "docs_per_sec": round(n / min(walls[cpus]), 1),
+                             "all_walls_s": [round(x, 2) for x in walls[cpus]]}
     eff_4_16 = results[16]["docs_per_sec"] / (4 * results[4]["docs_per_sec"])
     eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     out = {"sf": _sf_of(sf_dir), "n_cores": results,
            "scaling_efficiency_4_to_16": round(eff_4_16, 3),
-           "scaling_efficiency_8_to_32": round(eff, 3)}
+           "scaling_efficiency_8_to_32": round(eff, 3),
+           "cpu_canary": canary}
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
-        f"| local[{c}] | {results[c]['docs']} | {results[c]['wall_s']} | {results[c]['docs_per_sec']} |"
+        f"| local[{c}] | {results[c]['docs']} | {results[c]['wall_s']} | "
+        f"{results[c]['docs_per_sec']} | {results[c]['all_walls_s']} |"
         for c in (4, 16, 8, 32))
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — extraction scaling (sandbox evidence for the north rule)
@@ -153,20 +190,34 @@ The north rule's two-cluster-size criterion (throughput scaling efficiency
 ≥0.8 from N to 4N executors) cannot use a real cluster here; per the driver
 instruction it is evidenced by the identical job at two parallelism levels
 on the same input (8× replicated sf0.1 corpus, scan-fused extraction stage,
-warmed workers, best of 2 runs).
+warmed workers).
 
-| config | docs | wall (s) | docs/sec |
-| --- | --- | --- | --- |
+**Measurement discipline.** This shared VM shows ±20% wall-clock drift
+between identical runs, so each config reports the MIN of {reps} measured
+runs, interleaved across configs so slow windows hit every config (all
+walls shown).  A raw-CPU control (fixed md5 work, 1 vs 32 processes,
+best of 3) ran alongside: per-proc parity **{canary['parity']}**
+(1.0 = the box's 32 cores deliver 32× one core's md5 throughput; on quiet
+windows this box measures ≈1.0, so parity below that quantifies external
+interference during the suite and bounds how much of any extraction-job
+loss is the box rather than the job).
+
+| config | docs | wall (s) | docs/sec | all rep walls (s) |
+| --- | --- | --- | --- | --- |
 {rows}
 
 - **Scaling efficiency 4→16 cores (N→4N): {round(eff_4_16, 3)}** (target ≥ 0.8)
-- Scaling efficiency 8→32 cores: {round(eff, 3)} — the 4N point saturates
-  every hardware core of this single 32-core box, so the shared JVM
-  (scheduler, Arrow IPC) competes with the Python workers and all-core
-  turbo clocks are lower than the 8-core run's; a real N→4N *executor*
-  scale-out adds whole nodes and has neither effect.  The job itself is
-  embarrassingly parallel per url after one salted repartition (no
-  cross-partition dependency, no shuffle after the input split).
+- Scaling efficiency 8→32 cores: {round(eff, 3)}, vs raw-CPU canary parity
+  {canary['parity']} measured during the same suite — when the two are close,
+  the box's delivered capacity at 32-way, not the job, is the binding
+  constraint.  What the 4N-saturated point on ONE box shares that a real
+  4N-*executor* scale-out does not: whatever external contention the host
+  has, a single memory subsystem (LLC + DRAM bandwidth shared by all 32
+  numpy workers), and a single driver JVM (scheduler + Arrow IPC for all 32
+  workers).  Adding executors on a real cluster adds nodes with their own
+  CPUs, memory and JVMs.  The job itself is embarrassingly parallel per url
+  after one salted repartition (no cross-partition dependency, no shuffle
+  after the input split).
 
 Input: pages synthesized from `{sf_dir}/documents.parquet` (deterministic
 layout generator), full extraction pipeline (parse → analyze → categorize →

@@ -46,3 +46,84 @@ def test_stream_extract_end_to_end(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out_dir, "extracted")).count() == 500
     m = spark.read.parquet(os.path.join(out_dir, "stream_metrics"))
     assert m.groupBy().sum("url_count").collect()[0][0] == 500
+
+
+def _write_one_file(df, path: str, mtime: int):
+    """One parquet part file with a pinned mtime — the file source orders
+    micro-batches by (mtime, path), so pinning mtimes makes batch order
+    deterministic."""
+    df.coalesce(1).write.mode("append").parquet(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            if os.path.getmtime(p) > mtime - 0.5:
+                os.utime(p, (mtime, mtime))
+
+
+def test_stream_windowed_watermark(spark, tmp_path):
+    """Watermarked windowed agg: late rows inside the watermark still count;
+    windows emit (append mode) once the watermark passes them."""
+    from pyspark.sql import functions as F
+    from osdocr_spark.spark.jobs import load_pages
+    from osdocr_spark.spark.streaming import stream_domain_stats
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages = load_pages(spark, SF, num_partitions=4)  # warc_ts spans 500 s
+
+    # batch 1: the data; batches 2-3: future sentinels that advance the
+    # watermark past every data window (sentinel windows stay open — never
+    # emitted — which is exactly append-mode semantics)
+    _write_one_file(pages, pages_dir, 1_700_000_000)
+    sentinel = pages.limit(1).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    _write_one_file(sentinel, pages_dir, 1_700_000_100)
+    sentinel2 = pages.limit(1).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 HOUR"))
+    _write_one_file(sentinel2, pages_dir, 1_700_000_200)
+
+    q = stream_domain_stats(spark, pages_dir, out_dir,
+                            window="1 minute", watermark="10 seconds",
+                            max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    # compare data windows only: the final no-data micro-batch may also have
+    # flushed the first sentinel's window (its watermark passed it), which
+    # the batch `expected` below deliberately doesn't contain
+    got = (spark.read.parquet(os.path.join(out_dir, "domain_stats"))
+           .where("win_start < timestamp'2024-01-01 00:30:00'"))
+    expected = (pages.groupBy(
+        F.window("warc_ts", "1 minute").alias("win"),
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain"))
+        .agg(F.count("*").alias("n_pages"),
+             F.sum(F.octet_length("html")).alias("html_bytes"))
+        .select(F.col("win.start").alias("win_start"), "domain",
+                "n_pages", "html_bytes"))
+    g = {(r["win_start"], r["domain"]): (r["n_pages"], r["html_bytes"])
+         for r in got.collect()}
+    e = {(r["win_start"], r["domain"]): (r["n_pages"], r["html_bytes"])
+         for r in expected.collect()}
+    assert g == e  # every data window closed and emitted exactly once
+    assert sum(n for n, _ in g.values()) == 500
+
+
+def test_stream_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: re-delivered urls are suppressed across
+    micro-batches (per-domain state survives between batches)."""
+    from osdocr_spark.spark.jobs import load_pages
+    from osdocr_spark.spark.streaming import stream_first_seen
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages = load_pages(spark, SF, num_partitions=4)
+
+    _write_one_file(pages.limit(300), pages_dir, 1_700_000_000)
+    # batch 2 re-delivers batch 1's urls (all 500 rows ⊇ batch 1's 300)
+    _write_one_file(pages, pages_dir, 1_700_000_100)
+
+    q = stream_first_seen(spark, pages_dir, out_dir, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(os.path.join(out_dir, "first_seen"))
+    assert got.count() == 500          # every url exactly once
+    assert got.select("url").distinct().count() == 500
