@@ -84,6 +84,21 @@ def test_plan_pushdown_and_pruning(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in ex_plan
 
 
+def test_plan_broadcast_joins(spark):
+    """Scale hygiene: the small side of dimension/probe joins must broadcast
+    — a shuffled hash join on these shapes becomes the 100 TB bottleneck."""
+    from osdocr_spark.ops.relational import q_broadcast_join
+    from osdocr_spark.ops.simsearch import s_ann_bruteforce, s_ann_ivf
+
+    for q in (q_broadcast_join, s_ann_bruteforce, s_ann_ivf):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
+            f"{q.__name__} lost its broadcast:\n{plan[:2000]}"
+    # and the probe side never becomes a cartesian product
+    plan = s_ann_ivf(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_job_resume(spark, tmp_path):
     from osdocr_spark.spark.jobs import run_extract_job
     out = str(tmp_path / "out")
