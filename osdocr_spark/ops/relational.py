@@ -198,6 +198,44 @@ GROUP BY o_orderpriority
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (an operator Spark lacks natively): each click matched to
+    the user's most recent view at-or-before it.  Implemented with the
+    scale-right union + running-``last`` window — ONE shuffle on user_id and
+    zero joins, where the naive range-join is quadratic per user.  Ties:
+    views sort before clicks at equal ts (at-or-before), max event_id wins
+    among equal-ts views."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isin("view", "click"))
+    tagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("k"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "k", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = tagged.select(
+        "user_id", "ts", "event_id", "k",
+        F.last(F.when(F.col("k") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("view_id"),
+        F.last(F.when(F.col("k") == 0, F.col("ts")), ignorenulls=True)
+        .over(w).alias("view_ts"),
+    )
+    return (run.where(F.col("k") == 1)
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    F.col("ts").alias("click_ts"), "view_id", "view_ts"))
+
+
+_O_ASOF = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       (SELECT v.event_id FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id,
+       (SELECT v.ts FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
 # --------------------------------------------------------------------------
 # window functions (§2.5 — adjacent-word-gap lag analog)
 def q_window_lag(spark, sf_dir):
@@ -425,6 +463,7 @@ QUERIES = {
     "q_semi_join": q_semi_join,
     "q_anti_join": q_anti_join,
     "q_range_join": q_range_join,
+    "q_asof_join": q_asof_join,
     "q_window_lag": q_window_lag,
     "q_window_topk": q_window_topk,
     "q_sessionize": q_sessionize,
@@ -445,6 +484,7 @@ ORACLES = {
     "q_semi_join": _O_SEMI,
     "q_anti_join": _O_ANTI,
     "q_range_join": _O_RANGE,
+    "q_asof_join": _O_ASOF,
     "q_window_lag": _O_LAG,
     "q_window_topk": _O_WTOPK,
     "q_sessionize": _O_SESS,
