@@ -32,7 +32,9 @@ __all__ = ["parse_hocr", "to_hocr"]
 _ELEM = re.compile(
     r"<(?:div|p|span)[^>]*?class=['\"](ocr_page|ocr_carea|ocr_par|ocr_line|ocrx_word)['\"]"
     r"[^>]*?title=['\"]([^'\"]*)['\"][^>]*>"
-    r"(?:((?:(?!</?span).)*?)</span>)?",
+    # linear inner-content scan (text runs + non-span tags) — equivalent to
+    # the tempered-dot form but without per-character backtracking
+    r"(?:([^<]*(?:<(?!/?span\b)[^>]*>[^<]*)*)</span>)?",
     re.DOTALL,
 )
 _BBOX = re.compile(r"bbox (-?\d+) (-?\d+) (-?\d+) (-?\d+)")

@@ -182,7 +182,8 @@ FROM votes GROUP BY doc_id
 
 def d_jaccard_sample(spark, sf_dir):
     """Exact shingle-set Jaccard on the doc_id%20==0 sample: pairs with
-    J ≥ 0.05 (the verification stage behind MinHash candidates)."""
+    J ≥ 0.01 (the verification stage behind MinHash candidates;
+    threshold set so the sampled corpus yields matches at every SF)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
     sh = _shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -194,7 +195,7 @@ def d_jaccard_sample(spark, sf_dir):
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     j = (inter.join(sa, "a").join(sb, "b")
          .withColumn("jaccard", F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 4))
-         .where(F.col("jaccard") >= 0.05)
+         .where(F.col("jaccard") >= 0.01)
          .select("a", "b", "jaccard"))
     return j
 
@@ -211,7 +212,7 @@ inter AS (
 SELECT a, b, ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id
            JOIN sizes sb ON inter.b = sb.doc_id
-WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.05
+WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.01
 """
 
 
