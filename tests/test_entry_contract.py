@@ -99,6 +99,23 @@ def test_plan_broadcast_joins(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_partitions_balanced(spark):
+    """Scale hygiene: the domain key is Zipf-skewed by construction
+    (URL_DOMAINS buckets), but after the salted repartition no partition
+    holds more than ~3× the mean — the skew never reaches the kernels."""
+    from pyspark.sql import functions as F
+    from osdocr_spark.spark.jobs import load_pages
+
+    pages = load_pages(spark, SF, num_partitions=16)
+    sizes = (pages.select(F.spark_partition_id().alias("pid"))
+             .groupBy("pid").count().collect())
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 16
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 3 * mean, counts
+    assert min(counts) > 0, counts
+
+
 def test_job_resume(spark, tmp_path):
     from osdocr_spark.spark.jobs import run_extract_job
     out = str(tmp_path / "out")
