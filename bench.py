@@ -25,12 +25,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "extract_text",
+    "extract_text_noisy",
     "q_agg_pricing",
     "q_join_topk",
+    "q_asof_join",
     "q_window_lag",
     "d_minhash_pairs",
     "d_simhash",
     "s_ann_bruteforce",
+    "s_ann_ivf",
     "t_quality",
 ]
 
