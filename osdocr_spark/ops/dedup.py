@@ -147,22 +147,27 @@ FROM small x JOIN small y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.
 
 def d_simhash(spark, sf_dir):
     """16-bit SimHash: per token, bit b = parity of the b-th md5 hex digit;
-    signature bit = sign of the ±1 vote sum over the token multiset."""
+    signature bit = sign of the ±1 vote sum over the token multiset.
+
+    Plan shape: 16 aggregate columns over the token table in ONE groupBy —
+    not a 16× row explode (at 10^12 docs that explode is 16× the shuffle
+    volume for the identical result)."""
     d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        F.md5(F.col("tok").cast("binary")).alias("h"),
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .select("doc_id", F.md5(F.col("t").cast("binary")).alias("h")))
+    votes = [
+        F.sum(F.expr(
+            f"(instr('0123456789abcdef', substr(h, {b + 1}, 1)) - 1) % 2 * 2 - 1"
+        )).alias(f"s{b}")
+        for b in range(16)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes)
+    bitval = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+         for b in range(16)),
+        F.lit(0).cast("long"),
     )
-    votes = (bits.withColumn(
-        "v", F.expr("(instr('0123456789abcdef', substr(h, b + 1, 1)) - 1) % 2 * 2 - 1"))
-        .groupBy("doc_id", "b").agg(F.sum("v").alias("s")))
-    return (votes.withColumn("bitval",
-                             F.when(F.col("s") > 0,
-                                    F.pow(F.lit(2.0), F.col("b")).cast("long"))
-                             .otherwise(F.lit(0)))
-            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+    return sig.select("doc_id", bitval.alias("simhash"))
 
 
 _O_SIMHASH = """

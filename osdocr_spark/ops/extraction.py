@@ -28,8 +28,16 @@ _URL_SQL = f"'https://news-' || CAST(doc_id % {URL_DOMAINS} AS VARCHAR) || '.exa
 
 
 def extract_text(spark, sf_dir):
-    """Flagship: per-url byte-identical extracted main text."""
-    return extract_pages(load_pages(spark, sf_dir)).select("url", "text")
+    """Flagship: per-url byte-identical extracted main text, on the
+    production plan shape — scan-fused single Python stage (synthesis and
+    extraction in one Arrow hop; ``extract_pages`` over a materialized pages
+    table is exercised by the noisy/multi-article gauntlets below)."""
+    import os as _os
+    from ..spark.stages import extract_documents_fused, salted_repartition
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    docs = salted_repartition(
+        docs, spark.sparkContext.defaultParallelism * 4, key="doc_id")
+    return extract_documents_fused(docs).select("url", "text")
 
 
 _O_TEXT = f"""
