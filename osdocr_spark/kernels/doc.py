@@ -71,6 +71,7 @@ class Document:
         )
         self._line_cache: dict = {}
         self._words_cache: dict = {}
+        self._vt_cache: dict = {}
 
     # ---------------------------------------------------------------- words
     def n_blocks(self) -> int:
@@ -185,7 +186,18 @@ class Document:
 
     def block_is_vertical_text(self, bi: int, conf: int = 0) -> bool:
         """``is_vertical_text`` (``ocr_tree.py:613-657``): one line → word
-        aspect / x-overlap vote; multi-line → y-overlap vote vs tallest."""
+        aspect / x-overlap vote; multi-line → y-overlap vote vs tallest.
+        Memoized per (block, conf): classify and ordering both ask, and the
+        word table is immutable for this Document's lifetime (mutation
+        rebuilds the Document, see ``fix.py``)."""
+        hit = self._vt_cache.get((bi, conf))
+        if hit is not None:
+            return hit
+        hit = self._vertical_text_impl(bi, conf)
+        self._vt_cache[(bi, conf)] = hit
+        return hit
+
+    def _vertical_text_impl(self, bi: int, conf: int) -> bool:
         if self.block_is_empty(bi, conf, only_text=True):
             return False
         keys, lboxes, _ = self.line_table(bi)
