@@ -176,6 +176,49 @@ FROM documents
 """
 
 
+def t_bigram_lm(spark, sf_dir):
+    """Corpus bigram-LM quality score: per doc, the mean log of
+    P(w2|w1) = c(w1,w2)/c(w1) estimated over the WHOLE corpus — the n-gram
+    LM filter a training-data pipeline runs before expensive scorers.
+
+    Plan shape for 10^12 docs: the LM is two global aggregations (unigram,
+    bigram counts); the per-doc scoring join hits the bigram table on its
+    natural key.  On a real corpus the count tables are Zipf-small relative
+    to the text and the hot head broadcasts; AQE handles the skewed join on
+    the most frequent bigrams."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    big = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))"
+        )).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni_c = (big.groupBy("w1").agg(F.count("*").alias("c1")))
+    big_c = (big.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    lm = big_c.join(uni_c, "w1").select(
+        "w1", "w2", (F.log(F.col("c2") / F.col("c1"))).alias("lp"))
+    return (big.join(lm, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("lp") / F.count("*"), 4).alias("mean_logp"),
+                 F.count("*").alias("n_bigrams")))
+
+
+_O_BIGRAM_LM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+big AS (
+  SELECT doc_id, ts[i + 1] AS w1, ts[i + 2] AS w2
+  FROM toks, range(0, 10000) r(i) WHERE i <= len(ts) - 2),
+uni_c AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+big_c AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+lm AS (SELECT w1, w2, LN(c2 / CAST(c1 AS DOUBLE)) AS lp
+       FROM big_c JOIN uni_c USING (w1))
+SELECT doc_id, ROUND(SUM(lp) / COUNT(*), 4) AS mean_logp, COUNT(*) AS n_bigrams
+FROM big JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 FRAME_STRIDE = 1024   # byte stride between sampled "frames"
 MAX_FRAMES = 4
 THUMB_BYTES = 16
@@ -239,11 +282,13 @@ QUERIES = {
     "t_lang_score": t_lang_score,
     "t_fingerprint": t_fingerprint,
     "t_clean_text": t_clean_text,
+    "t_bigram_lm": t_bigram_lm,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
 }
 
 ORACLES = {
+    "t_bigram_lm": _O_BIGRAM_LM,
     "m_frame_sample": _O_FRAMES,
     "t_token_count": _O_TOKENS,
     "t_quality": _O_QUALITY,
