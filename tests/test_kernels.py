@@ -247,3 +247,26 @@ def test_small_operator_parity_helpers():
     hits = doc.blocks_intersect_area(area)
     assert 0 in hits
 
+
+
+def test_large_document_bounded_and_byte_identical():
+    """Domain-skew robustness: a 50k-word (~1.2 MB) page — far above the
+    corpus P99 — still extracts with byte parity and bounded wall (the
+    Arrow-batch cap in session.py keeps such pages from stalling a worker;
+    this pins the kernel side of that claim)."""
+    import re
+    import time
+
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.pipeline import extract_html
+
+    words = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+             "eiusmod tempor incididunt ut labore et dolore magna aliqua " * 450).split()
+    text = " ".join(words[:50000])
+    page = generate_page(999_999, text)
+    t0 = time.time()
+    r = extract_html("big", page)
+    wall = time.time() - t0
+    assert r["text"] == re.sub(r"\s+", " ", text).strip()
+    assert r["n_blocks"] > 100
+    assert wall < 60, wall  # ~2 s on an idle core; generous bound for CI noise
