@@ -98,7 +98,12 @@ def assemble_article(doc: Document, block_order: list[int], conf: int = 0) -> di
 
 def article_to_txt(article: dict, fix: bool = True, faithful: bool = True) -> str:
     """``Article.to_txt`` (``article.py:216-229``): ``'{title}\\n'`` +
-    hyphen-fixed text body items + ``'\\n'``.  Image items are skipped."""
+    hyphen-fixed text body items + ``'\\n'``.  Image items are skipped.
+
+    Reference-faithful quirk: a title-less article stringifies its ``None``
+    title (``article.py:221``: ``f'{self.title}\\n'`` with the ``None``
+    default from ``:23``), so degenerate pages emit the literal ``'None'``
+    — replicated because the emitted bytes are the parity contract."""
     text = f"{article['title']}\n"
     for kind, payload in article["body"]:
         if kind == "text":

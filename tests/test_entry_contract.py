@@ -2,8 +2,8 @@
 fast subset at sf0.001, plan-hygiene checks (pushdown/pruning), and the
 extraction job's checkpoint/resume semantics.
 
-The driver runs the *full* 33-oracle comparison at sf0.01; here we pin a
-representative slice so `python -m pytest -x -q` stays green and fast.
+The driver runs the *full* oracle comparison (46 oracles) at sf0.01; here we
+pin a representative slice so `python -m pytest -x -q` stays green and fast.
 """
 
 import os

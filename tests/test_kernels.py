@@ -270,3 +270,26 @@ def test_large_document_bounded_and_byte_identical():
     assert r["text"] == re.sub(r"\s+", " ", text).strip()
     assert r["n_blocks"] > 100
     assert wall < 60, wall  # ~2 s on an idle core; generous bound for CI noise
+
+
+def test_malformed_inputs_never_raise():
+    """Crawl-scale robustness: garbage, truncated, empty, and non-hOCR
+    payloads must flow through the kernel without raising (one bad page must
+    not kill an Arrow batch of 512 docs).  The 'None' text on degenerate
+    pages is reference-faithful (``article.py:221`` stringifies the None
+    title; see emit.article_to_txt)."""
+    from osdocr_spark.kernels.pipeline import extract_html
+
+    cases = {
+        "empty": b"",
+        "invalid_utf8_garbage": b"\xff\xfe not html \x00\x01",
+        "truncated_tag": b"<div class='ocr_carea' title='bbox 0 0 100 100'>"
+                         b"<span class='ocrx_word' title='bbox 1 1",
+        "block_no_words": b"<div class='ocr_carea' title='bbox 0 0 100 100'></div>",
+        "plain_html_not_hocr": b"<html><body><p>plain page</p></body></html>",
+    }
+    for name, payload in cases.items():
+        r = extract_html(name, payload)
+        assert r["url"] == name
+        assert isinstance(r["text"], str)
+        assert r["n_words"] >= 0
