@@ -142,3 +142,40 @@ def test_parallelism_invariance(spark, entry_mod):
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.concat_ws("§", "url", "text"))))).alias("h")) \
         .collect()[0]["h"]
     assert a == b
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale hygiene: a 90%-hot-key join must trigger AQE's skew-join split
+    (the runtime answer to domain-key skew when salting isn't in the plan).
+    Thresholds are lowered to make the 200k-row fixture look like a skewed
+    100 TB shuffle; restored afterwards."""
+    from pyspark.sql import functions as F
+
+    keys = ["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "64KB")
+        spark.conf.set(keys[1], "32KB")
+        spark.conf.set(keys[2], "2")
+        spark.conf.set(keys[3], "false")
+        spark.conf.set(keys[4], "-1")
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("v" * 64), F.col("id").cast("string")).alias("payload"))
+        dim = spark.range(0, 97).select(F.col("id").alias("k"),
+                                        F.col("id").alias("dval"))
+        j = fact.join(dim, "k").select(F.sum(F.length("payload")).alias("s"))
+        [row] = j.collect()
+        assert row["s"] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
