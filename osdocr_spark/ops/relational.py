@@ -402,6 +402,36 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup: per-event-type counts and value
+    sums at hour resolution with day and grand-total rollup levels — the
+    continuous-aggregate shape a time-series store materializes; here one
+    pass, partial+final aggregated, no re-scan per resolution."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .rollup("day", "hour", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(_dec("value")), 4).cast("double").alias("sum_value"))
+        .select(F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+                F.coalesce(F.col("hour").cast("string"), F.lit("ALL")).alias("hour"),
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                "n_events", "sum_value")
+    )
+
+
+_O_TIME_ROLLUP = """
+SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR), 'ALL') AS day,
+       COALESCE(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+"""
+
+
 def q_props_extract(spark, sf_dir):
     """Semi-structured payload extraction: pull the numeric field out of the
     events ``props`` JSON blob with portable regex (web-scale logs shape)."""
@@ -472,6 +502,7 @@ QUERIES = {
     "q_topk_global": q_topk_global,
     "q_histogram": q_histogram,
     "q_rollup": q_rollup,
+    "q_time_rollup": q_time_rollup,
 }
 
 ORACLES = {
@@ -493,4 +524,5 @@ ORACLES = {
     "q_topk_global": _O_TOPK,
     "q_histogram": _O_HIST,
     "q_rollup": _O_ROLLUP,
+    "q_time_rollup": _O_TIME_ROLLUP,
 }
