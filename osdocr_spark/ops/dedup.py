@@ -245,6 +245,58 @@ WHERE ROUND(dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 4) >= 0.2
 """
 
 
+def d_cc_clusters(spark, sf_dir):
+    """Dedup clustering: connected components over the LSH candidate pairs —
+    every doc labeled with the min doc_id of its component (the step that
+    turns near-dup PAIRS into KEEP/DROP decisions).
+
+    Pregel-style min-label propagation with pointer-jumping (path halving):
+    each round is (1) take the min label over graph neighbors, then (2) jump
+    to the label's own label — so convergence is O(log diameter), not
+    O(diameter), and a pathological duplicate CHAIN can't outrun the round
+    budget.  Every round is joins/groupBys on the doc_id key;
+    localCheckpoint keeps the plan flat; convergence is an exact
+    changed-row count."""
+    pairs = d_minhash_pairs(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("lbl", F.col("id")).localCheckpoint())
+    for _ in range(25):  # ⌈log2⌉ of any plausible diameter, with headroom
+        nbr_min = (edges.join(labels, edges.b == labels.id)
+                   .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        stepped = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                   .select(labels.id,
+                           F.least(labels.lbl, F.coalesce(nbr_min.nlbl, labels.lbl))
+                           .alias("lbl")))
+        # pointer jump: label(x) ← min(label(x), label(label(x)))
+        parent = stepped.select(F.col("id").alias("pid"), F.col("lbl").alias("plbl"))
+        new = (stepped.join(parent, stepped.lbl == parent.pid, "left")
+               .select(stepped.id,
+                       F.least(stepped.lbl, F.coalesce(parent.plbl, stepped.lbl))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .where("n.lbl <> o.lbl").count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+_O_CC = f"""
+WITH RECURSIVE pairs AS ({_O_MINHASH_PAIRS}),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "d_exact": d_exact,
     "d_minhash": d_minhash,
@@ -252,6 +304,7 @@ QUERIES = {
     "d_simhash": d_simhash,
     "d_jaccard_sample": d_jaccard_sample,
     "d_embedding_neardup": d_embedding_neardup,
+    "d_cc_clusters": d_cc_clusters,
 }
 
 ORACLES = {
@@ -261,4 +314,5 @@ ORACLES = {
     "d_simhash": _O_SIMHASH,
     "d_jaccard_sample": _O_JACCARD,
     "d_embedding_neardup": _O_EMB_NEARDUP,
+    "d_cc_clusters": _O_CC,
 }
