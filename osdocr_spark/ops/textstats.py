@@ -219,6 +219,30 @@ GROUP BY doc_id
 """
 
 
+def t_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (the data-mixing primitive): per
+    (lang, source) stratum keep docs whose md5(doc_id) falls in the lowest
+    ~25% of hash space — reproducible across engines and runs, unlike
+    TABLESAMPLE.  Returns per-stratum kept counts + token volume.  At
+    10^12 docs this is a narrow filter + one aggregation; changing mixture
+    weights is a literal edit, no reshuffle of the corpus."""
+    d = _docs(spark, sf_dir)
+    kept = d.where(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+                   .isin("0", "1", "2", "3"))
+    return (kept.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+
+
+_O_STRATIFIED = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+GROUP BY lang, source
+"""
+
+
 FRAME_STRIDE = 1024   # byte stride between sampled "frames"
 MAX_FRAMES = 4
 THUMB_BYTES = 16
@@ -283,12 +307,14 @@ QUERIES = {
     "t_fingerprint": t_fingerprint,
     "t_clean_text": t_clean_text,
     "t_bigram_lm": t_bigram_lm,
+    "t_stratified_sample": t_stratified_sample,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
 }
 
 ORACLES = {
     "t_bigram_lm": _O_BIGRAM_LM,
+    "t_stratified_sample": _O_STRATIFIED,
     "m_frame_sample": _O_FRAMES,
     "t_token_count": _O_TOKENS,
     "t_quality": _O_QUALITY,
