@@ -245,6 +245,64 @@ WHERE ROUND(dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 4) >= 0.2
 """
 
 
+WINNOW_K = 16  # char-gram length
+WINNOW_W = 8   # winnowing window (in grams)
+
+
+def d_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    16-char gram, slide a window of 8 grams, keep each window's minimal
+    (hash, position) — the rolling-hash fingerprint set that powers
+    plagiarism/near-dup detection with guaranteed match coverage.
+
+    Tie-break: leftmost minimal position (encoded by taking the MIN of the
+    fixed-width string ``hash:zero-padded-pos``, identical on both engines).
+    One narrow explode + one windowed min per doc — no joins."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, length(text) - {WINNOW_K} + 1),"
+            f" i -> struct(i AS i, md5(CAST(substring(text, i, {WINNOW_K}) AS BINARY)) AS h))"
+        )).alias("g"),
+    ).select("doc_id", "g.i", "g.h")
+    key = F.concat("h", F.lit(":"), F.lpad(F.col("i").cast("string"), 8, "0"))
+    win = (Window.partitionBy("doc_id").orderBy("i")
+           .rowsBetween(-(WINNOW_W - 1), 0))
+    sel = (grams.withColumn("k", key)
+           .withColumn("sel", F.min("k").over(win))
+           .where(F.col("i") >= WINNOW_W)   # full windows only
+           .select("doc_id",
+                   F.substring("sel", 1, 32).alias("fp"),
+                   F.substring("sel", 34, 8).cast("int").alias("pos"))
+           .distinct())
+    return sel
+
+
+_O_WINNOW = f"""
+WITH grams AS (
+  SELECT doc_id, i,
+         md5(substring(text, CAST(i AS INT), {WINNOW_K})) AS h
+  FROM documents, range(1, 100000) r(i)
+  WHERE strlen(text) >= {WINNOW_K + WINNOW_W - 1}
+    AND i <= strlen(text) - {WINNOW_K} + 1),
+keyed AS (
+  SELECT doc_id, i, h || ':' || lpad(CAST(i AS VARCHAR), 8, '0') AS k
+  FROM grams),
+sel AS (
+  SELECT doc_id, i,
+         MIN(k) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM keyed)
+SELECT DISTINCT doc_id,
+       substring(s, 1, 32) AS fp,
+       CAST(substring(s, 34, 8) AS INT) AS pos
+FROM sel WHERE i >= {WINNOW_W}
+"""
+
+
 def d_cc_clusters(spark, sf_dir):
     """Dedup clustering: connected components over the LSH candidate pairs —
     every doc labeled with the min doc_id of its component (the step that
@@ -305,6 +363,7 @@ QUERIES = {
     "d_jaccard_sample": d_jaccard_sample,
     "d_embedding_neardup": d_embedding_neardup,
     "d_cc_clusters": d_cc_clusters,
+    "d_winnow": d_winnow,
 }
 
 ORACLES = {
@@ -315,4 +374,5 @@ ORACLES = {
     "d_jaccard_sample": _O_JACCARD,
     "d_embedding_neardup": _O_EMB_NEARDUP,
     "d_cc_clusters": _O_CC,
+    "d_winnow": _O_WINNOW,
 }

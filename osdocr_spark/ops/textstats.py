@@ -115,7 +115,7 @@ FROM documents
 
 def t_fingerprint(spark, sf_dir):
     """Document fingerprints: full-text md5 + 64-char-prefix md5 (the
-    cheap exact-dup keys; rolling-hash winnowing lives in the dedup module)."""
+    cheap exact-dup keys; rolling-hash winnowing is ``dedup.d_winnow``)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
