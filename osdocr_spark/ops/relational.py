@@ -198,6 +198,53 @@ GROUP BY o_orderpriority
 """
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles per group (median / p90 / p99, linear
+    interpolation — identical definition on both engines).  At 100 TB the
+    approx_percentile sketch replaces this one call; the exact form is the
+    correctness anchor the sketch is validated against."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n")))
+
+
+_O_QUANTILES = """
+SELECT event_type,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+       ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+PIVOT_TYPES = ("view", "click", "purchase", "error")
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event-type counts as columns.  Explicit
+    value list — at scale an implicit pivot forces a distinct-values job
+    first and an unbounded column blowup."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", list(PIVOT_TYPES))
+            .agg(F.count(F.lit(1)))
+            .select("user_id",
+                    *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                      for t in PIVOT_TYPES]))
+
+
+_O_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                  for t in PIVOT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (an operator Spark lacks natively): each click matched to
     the user's most recent view at-or-before it.  Implemented with the
@@ -494,6 +541,8 @@ QUERIES = {
     "q_anti_join": q_anti_join,
     "q_range_join": q_range_join,
     "q_asof_join": q_asof_join,
+    "q_quantiles": q_quantiles,
+    "q_pivot": q_pivot,
     "q_window_lag": q_window_lag,
     "q_window_topk": q_window_topk,
     "q_sessionize": q_sessionize,
@@ -516,6 +565,8 @@ ORACLES = {
     "q_anti_join": _O_ANTI,
     "q_range_join": _O_RANGE,
     "q_asof_join": _O_ASOF,
+    "q_quantiles": _O_QUANTILES,
+    "q_pivot": _O_PIVOT,
     "q_window_lag": _O_LAG,
     "q_window_topk": _O_WTOPK,
     "q_sessionize": _O_SESS,
