@@ -29,12 +29,17 @@ from .doc import Document
 
 __all__ = ["parse_hocr", "to_hocr"]
 
+# Inner-content scan: text runs may contain a bare '<' that does not start
+# a tag (next char not alnum, '/' or '!'), e.g. 'a < b' — preserved, like
+# the reference's BeautifulSoup get_text(); real non-span tags (<a>, <b>…)
+# are crossed by the tag alternative; a '<span'/'</span' boundary is never
+# crossed, so an unclosed word span still yields group(3)=None rather than
+# swallowing the next word.  Linear (no per-character backtracking).
+_TEXT_RUN = r"(?:[^<]|<(?![A-Za-z/!]))*"
 _ELEM = re.compile(
     r"<(?:div|p|span)[^>]*?class=['\"](ocr_page|ocr_carea|ocr_par|ocr_line|ocrx_word)['\"]"
     r"[^>]*?title=['\"]([^'\"]*)['\"][^>]*>"
-    # linear inner-content scan (text runs + non-span tags) — equivalent to
-    # the tempered-dot form but without per-character backtracking
-    r"(?:([^<]*(?:<(?!/?span\b)[^>]*>[^<]*)*)</span>)?",
+    r"(?:(" + _TEXT_RUN + r"(?:<(?!/?span\b)[^>]*>" + _TEXT_RUN + r")*)</span>)?",
     re.DOTALL,
 )
 _BBOX = re.compile(r"bbox (-?\d+) (-?\d+) (-?\d+) (-?\d+)")

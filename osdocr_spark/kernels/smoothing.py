@@ -89,14 +89,25 @@ def _factor_cache_dir() -> str | None:
     these ~6 MB arrays would ship once as a broadcast variable; here every
     fresh Python worker process would otherwise pay the same O(n³)
     inversions).  Purely a cache of a deterministic pure function of
-    (n, λ, d) — loads are bit-identical to recomputation."""
+    (n, λ, d) — loads are bit-identical to recomputation.
+
+    The default path is per-user (uid suffix) and created 0o700, and an
+    existing directory must be owned by us and non-world/group-writable —
+    otherwise another local user could pre-create the dir and plant arrays
+    under predictable keys (CWE-379).  Loaded arrays are shape-checked at
+    the load site as a second line of defense."""
     import tempfile
-    d = os.environ.get("OSDOCR_FACTOR_CACHE",
-                       os.path.join(tempfile.gettempdir(), "osdocr_whittaker_v1"))
+    d = os.environ.get("OSDOCR_FACTOR_CACHE")
     if d == "off":
         return None
+    if d is None:
+        uid = os.getuid() if hasattr(os, "getuid") else "na"
+        d = os.path.join(tempfile.gettempdir(), f"osdocr_whittaker_v1_{uid}")
     try:
-        os.makedirs(d, exist_ok=True)
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        if hasattr(os, "getuid") and (st.st_uid != os.getuid() or st.st_mode & 0o022):
+            return None
         return d
     except OSError:
         return None
@@ -115,7 +126,9 @@ def _dense_inverse(n: int, lmbda: float, order: int) -> np.ndarray:
     if cache_dir is not None:
         fname = os.path.join(cache_dir, f"inv_{n}_{lmbda!r}_{order}.npy")
         try:
-            return np.load(fname)
+            inv = np.load(fname)
+            if inv.shape == (n, n) and inv.dtype == np.float64:
+                return inv
         except (OSError, ValueError):
             pass
     band = _system_band(n, lmbda, order)

@@ -115,15 +115,20 @@ def d_minhash_pairs(spark, sf_dir):
         F.posexplode(F.array(*[F.col(f"sig_{k}") for k in range(N_BANDS)]))
         .alias("band", "sig"),
     )
-    # one shuffle gathers each LSH bucket, the cap drops degenerate shingle
-    # floods BEFORE any pair exists, and pair-gen is a narrow array expansion
-    # — no self-join, so a hot bucket can never explode a join task.  (An
-    # earlier version materialized buckets via a window + self-join; at
-    # 10^12 docs that join's skewed probe side is exactly the blowup the
-    # cap is there to prevent.)
-    buckets = (bands.groupBy("band", "sig")
-               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-               .where((F.size("ids") > 1) & (F.size("ids") <= BUCKET_CAP)))
+    # Two-phase bucket gather: phase 1 is a count-only aggregation (fixed
+    # 8-byte buffer per bucket) that finds the small buckets; phase 2
+    # semi-joins the band rows against those and only THEN collect_lists —
+    # so a degenerate flood bucket never materializes an O(bucket) array in
+    # any task.  Pair-gen stays a narrow array expansion — no self-join, so
+    # a hot bucket can never explode a join task.  (An earlier version
+    # collect_list-ed first and filtered after, which still paid the flood
+    # bucket's memory in one aggregation buffer.)
+    small = (bands.groupBy("band", "sig").agg(F.count("*").alias("n"))
+             .where((F.col("n") > 1) & (F.col("n") <= BUCKET_CAP))
+             .select("band", "sig"))
+    buckets = (bands.join(small, ["band", "sig"], "left_semi")
+               .groupBy("band", "sig")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
     pair_expr = """
     flatten(transform(ids, (x, i) ->
       transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
@@ -186,57 +191,75 @@ FROM votes GROUP BY doc_id
 
 
 def d_jaccard_sample(spark, sf_dir):
-    """Exact shingle-set Jaccard on the doc_id%20==0 sample: pairs with
-    J ≥ 0.01 (the verification stage behind MinHash candidates;
-    threshold set so the sampled corpus yields matches at every SF)."""
-    d = _docs(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
-    sh = _shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (a.join(b, "shingle").where(F.col("a") < F.col("b"))
-             .groupBy("a", "b").agg(F.count("*").alias("i")))
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    j = (inter.join(sa, "a").join(sb, "b")
-         .withColumn("jaccard", F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 4))
-         .where(F.col("jaccard") >= 0.01)
-         .select("a", "b", "jaccard"))
-    return j
+    """Exact shingle-set Jaccard VERIFICATION of the LSH candidate pairs:
+    every ``d_minhash_pairs`` candidate scored exactly (J rounded 4dp,
+    zero-intersection candidates score 0.0 — verified-fail, not dropped).
+
+    Plan shape: candidates join per-doc shingle ARRAYS on the doc_id
+    natural key (uniform, never hot), then a narrow ``array_intersect`` —
+    replacing the earlier raw-shingle self-join whose hot-shingle keys
+    skewed the shuffle at scale."""
+    pairs = d_minhash_pairs(spark, sf_dir)
+    sets = (_shingles(_docs(spark, sf_dir))
+            .groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")))
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (pairs.join(sa, "a").join(sb, "b")
+            .select("a", "b",
+                    F.round(inter / (F.size("sha") + F.size("shb") - inter), 4)
+                    .alias("jaccard")))
 
 
 _O_JACCARD = f"""
-WITH sh AS (
-  SELECT * FROM ({_SQL_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id % 20 = 0")})
-),
+WITH pairs AS ({{MINHASH_PAIRS}}),
+sh AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-  GROUP BY 1, 2)
-SELECT a, b, ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
-FROM inter JOIN sizes sa ON inter.a = sa.doc_id
-           JOIN sizes sb ON inter.b = sb.doc_id
-WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.01
+  SELECT p.a, p.b, COUNT(*) AS i
+  FROM pairs p JOIN sh x ON x.doc_id = p.a
+               JOIN sh y ON y.doc_id = p.b AND x.shingle = y.shingle
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+       ROUND(COALESCE(i, 0) / CAST(sa.sz + sb.sz - COALESCE(i, 0) AS DOUBLE), 4) AS jaccard
+FROM pairs p
+LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+JOIN sizes sa ON p.a = sa.doc_id
+JOIN sizes sb ON p.b = sb.doc_id
 """
 
 
 def d_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs on the vec_id%10==0 sample
-    (cos ≥ 0.2, rounded 4dp; exact arithmetic notes in :mod:`.simsearch`)."""
-    from .simsearch import _cosine_pairs
-    return _cosine_pairs(spark, sf_dir, sample_mod=10, min_cos=0.2)
+    """Embedding-cosine near-dup pairs on the vec_id%10==0 sample, routed
+    through the sign-bit LSH buckets of :mod:`.simsearch` (cos ≥ 0.2,
+    rounded 4dp): pairs are generated WITHIN a bucket only — a bounded
+    equi-join on the bucket key, not the all-pairs theta join (which is
+    O(n²) and unusable at 10^12 rows).  Recall trade: near-dups whose sign
+    bits differ are missed — the standard LSH contract, multi-probe extends
+    it; the exact arithmetic notes live in :mod:`.simsearch`."""
+    from .simsearch import _bucket_expr, _with_cos
+
+    e = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+         .where(F.col("vec_id") % 10 == 0)
+         .withColumn("bucket", F.expr(_bucket_expr("embedding", "spark"))))
+    e = e.repartition(spark.sparkContext.defaultParallelism, "bucket")
+    x = e.select("bucket", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a"))
+    y = e.select("bucket", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b"))
+    j = x.join(y, "bucket").where(F.col("a_id") < F.col("b_id"))
+    return (_with_cos(j).where(F.col("cos") >= 0.2)
+            .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"), "cos"))
 
 
 _O_EMB_NEARDUP = """
-WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+WITH s AS (SELECT vec_id, embedding, {BUCKET} AS bucket
+           FROM embeddings WHERE vec_id % 10 = 0),
 norms AS (
   SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
   FROM s, range(1, 65) r(i) GROUP BY vec_id),
 dots AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
          SUM(CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)) AS dot
-  FROM s x JOIN s y ON x.vec_id < y.vec_id, range(1, 65) r(i)
+  FROM s x JOIN s y ON x.bucket = y.bucket AND x.vec_id < y.vec_id, range(1, 65) r(i)
   GROUP BY 1, 2)
 SELECT a, b, ROUND(dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 4) AS cos
 FROM dots JOIN norms na ON dots.a = na.vec_id
@@ -339,6 +362,11 @@ def d_cc_clusters(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    else:
+        # fail loudly rather than emit wrong KEEP/DROP decisions
+        raise RuntimeError(
+            f"d_cc_clusters: min-label propagation not converged after 25 "
+            f"rounds ({changed} labels still changing)")
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -353,6 +381,19 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
+
+
+def _resolve_oracle_templates() -> None:
+    """Late-bind the oracle placeholders (candidate-pair CTE, LSH bucket
+    expression) — kept out of the f-strings so SQL braces stay literal."""
+    global _O_JACCARD, _O_EMB_NEARDUP
+    from .simsearch import _bucket_expr
+
+    _O_JACCARD = _O_JACCARD.replace("{MINHASH_PAIRS}", _O_MINHASH_PAIRS)
+    _O_EMB_NEARDUP = _O_EMB_NEARDUP.replace("{BUCKET}", _bucket_expr("embedding"))
+
+
+_resolve_oracle_templates()
 
 
 QUERIES = {

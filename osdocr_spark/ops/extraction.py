@@ -7,9 +7,12 @@ stages.  The headline oracle: **extracted text per url is byte-identical to
 the whitespace-normalized source document text** — expressible in ANSI SQL
 because the generator is its own inverse.
 
-Geometry-derived outputs (reading order, spans, block features) depend on
-line-wrapping arithmetic no SQL can replicate; those queries carry no
-oracle and get the driver's rows-only check (noted per query).
+Geometry-derived outputs (reading order, spans) depend on the generator's
+line-wrap arithmetic — re-derived exactly in SQL by ``_O_WRAP_PREFIX``, a
+recursive CTE that simulates ``kernels.corpus._wrap_words`` (greedy
+char-count wrap + deterministic hyphen splits) step by step, validated
+word-for-word against the kernel on the full sf0.001 corpus.  Only
+``extract_blocks`` (raw geometry table) remains rows-only.
 """
 
 from __future__ import annotations
@@ -139,15 +142,20 @@ FROM documents
 
 
 def extract_reading_order(spark, sf_dir):
-    """Reading order as (url, order_idx, block_id) rows.  Rows-only check:
-    order depends on line-wrap geometry (validated against the byte-parity
-    text oracle instead — wrong order ⇒ wrong bytes in extract_text)."""
+    """Reading order as (url, order_idx, block_id) rows.  Exact oracle: the
+    wrap-simulation CTE derives the main-block count per page (title + body
+    blocks of 5 wrapped lines); parse order = reading order on the clean
+    corpus, so the order is the consecutive id run — also cross-braced by
+    the byte-parity text oracle (wrong order ⇒ wrong bytes)."""
     ex = extract_pages(load_pages(spark, sf_dir))
     return ex.select("url", F.posexplode("reading_order").alias("order_idx", "block_id"))
 
 
 def extract_spans(spark, sf_dir):
-    """Per-block character spans over the normalized text (rows-only)."""
+    """Per-block character spans over the normalized text.  Exact oracle:
+    the wrap simulation attributes every source word (hyphen-split words to
+    the block of their first fragment, matching ``fix_hifenization``'s
+    re-join) to its block; spans are cumulative (len+1) sums per block."""
     ex = extract_pages(load_pages(spark, sf_dir))
     return (ex.select("url", F.explode("spans").alias("s"))
             .select("url", F.col("s.block_id").alias("block_id"),
@@ -182,6 +190,97 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# The generator's greedy word-wrap (kernels/corpus.py::_wrap_words: char-count
+# wrap at cpl chars/line, deterministic hyphen split when
+# (doc_id*31 + wi) % 23 == 0, len(w) >= 6, < 4 splits, mid-line) re-derived
+# as a recursive CTE: one recursion step per consumed queue item (fresh word
+# or re-queued hyphen half), state = (queue pos, pending half, open-line
+# length, completed lines, splits, wi).  Fresh-word steps also emit the
+# word's attributed line (split words → line of the FIRST fragment, matching
+# the pipeline's span attribution).  Validated step-for-step against the
+# kernel over the full sf0.001 corpus (0 mismatches, 500 docs).
+_O_WRAP_PREFIX = f"""
+WITH RECURSIVE
+lay AS (
+  SELECT doc_id,
+         {_URL_SQL} AS url,
+         string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw,
+         (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 20 WHEN 1 THEN 24 WHEN 2 THEN 28 ELSE 32 END) AS s,
+         CASE WHEN len(string_split(text, ' ')) < 24 THEN 2 ELSE 4 END AS title_n,
+         CASE WHEN len(string_split(text, ' ')) < 40 THEN 1 ELSE 2 + CAST(doc_id % 2 AS INT) END AS n_cols
+  FROM documents),
+lay3 AS (
+  SELECT *, GREATEST(((1240 - 80 - (n_cols - 1) * 20) // n_cols) // ((s * 3) // 5), 8) AS cpl,
+         ws[title_n + 1:] AS bw
+  FROM lay),
+sim(doc_id, i, pending, cur_len, has_cur, n_lines, splits, wi, word_idx, attr_line) AS (
+  SELECT doc_id, 1, CAST(NULL AS VARCHAR), 0, FALSE, 0, 0, 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM lay3 WHERE len(bw) > 0
+  UNION ALL
+  SELECT s.doc_id,
+         CASE WHEN s.pending IS NULL THEN s.i + 1 ELSE s.i END,
+         CASE WHEN st.do_split THEN substring(st.w, strlen(st.w) // 2 + 1) END,
+         CASE WHEN st.do_split THEN 0
+              WHEN st.fits THEN s.cur_len + st.add ELSE strlen(st.w) END,
+         NOT st.do_split,
+         s.n_lines + CASE WHEN st.do_split OR NOT st.fits THEN 1 ELSE 0 END,
+         s.splits + CASE WHEN st.do_split THEN 1 ELSE 0 END,
+         s.wi + 1,
+         CASE WHEN s.pending IS NULL THEN s.i END,
+         CASE WHEN s.pending IS NULL THEN
+              CASE WHEN st.fits THEN s.n_lines ELSE s.n_lines + 1 END END
+  FROM sim s JOIN lay3 l USING (doc_id),
+  LATERAL (
+    SELECT w, add, fits,
+           fits AND s.splits < 4 AND strlen(w) >= 6
+                AND (s.doc_id * 31 + s.wi) % 23 = 0 AND s.has_cur AS do_split
+    FROM (SELECT COALESCE(s.pending, l.bw[s.i]) AS w),
+         LATERAL (SELECT strlen(w) + CASE WHEN s.has_cur THEN 1 ELSE 0 END AS add),
+         LATERAL (SELECT s.cur_len + add <= l.cpl OR NOT s.has_cur AS fits)
+  ) st
+  WHERE s.pending IS NOT NULL OR s.i <= len(l.bw)
+)
+"""
+
+_O_READING_ORDER = _O_WRAP_PREFIX + """,
+fin AS (
+  SELECT s.doc_id, s.n_lines + CASE WHEN s.has_cur THEN 1 ELSE 0 END AS tl
+  FROM sim s JOIN lay3 l USING (doc_id)
+  WHERE s.pending IS NULL AND s.i > len(l.bw)),
+nmain AS (
+  SELECT l.doc_id, l.url, 1 + COALESCE((f.tl + 4) // 5, 0) AS nm
+  FROM lay3 l LEFT JOIN fin f USING (doc_id))
+SELECT url, CAST(g AS INT) AS order_idx, CAST(g + 1 AS INT) AS block_id
+FROM nmain, range(0, 10000) r(g) WHERE g < nm
+"""
+
+_O_SPANS = _O_WRAP_PREFIX + """,
+tw AS (
+  SELECT doc_id, 1 AS block_id, strlen(ws[CAST(g AS INT)]) AS wl
+  FROM lay3, range(1, 10000) r(g) WHERE g <= title_n AND g <= nw),
+bwords AS (
+  SELECT s.doc_id, CAST(2 + s.attr_line // 5 AS INT) AS block_id,
+         strlen(l.bw[s.word_idx]) AS wl
+  FROM sim s JOIN lay3 l USING (doc_id)
+  WHERE s.word_idx IS NOT NULL),
+allw AS (SELECT * FROM tw UNION ALL SELECT * FROM bwords),
+blocks AS (
+  SELECT doc_id, block_id, SUM(wl + 1) AS blen
+  FROM allw GROUP BY doc_id, block_id),
+cum AS (
+  SELECT doc_id, block_id,
+         SUM(blen) OVER (PARTITION BY doc_id ORDER BY block_id) AS cend
+  FROM blocks)
+SELECT l.url, c.block_id,
+       CAST(c.cend - b.blen AS BIGINT) AS start,
+       CAST(c.cend - 1 AS BIGINT) AS "end"
+FROM cum c JOIN blocks b USING (doc_id, block_id) JOIN lay3 l USING (doc_id)
+"""
+
+
 _O_TITLES = f"""
 SELECT {_URL_SQL} AS url,
        array_to_string(
@@ -212,5 +311,7 @@ ORACLES = {
     "extract_article_titles": _O_TITLES,
     "order_paths_agree": _O_ORDER_AGREE,
     "extract_stats": _O_STATS,
+    "extract_reading_order": _O_READING_ORDER,
+    "extract_spans": _O_SPANS,
     "extract_boilerplate_stats": _O_BOILER,
 }

@@ -93,8 +93,10 @@ def q_join_topk(spark, sf_dir):
                            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))),
                      4).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (rev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+    # Deterministic top-k via orderBy+limit: Catalyst plans
+    # TakeOrderedAndProject (per-partition top-k + driver merge) — no
+    # single-task global window funnel at scale.
+    return (rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
             .select("o_orderkey", "revenue"))
 
 
@@ -107,9 +109,8 @@ WITH rev AS (
                 JOIN lineitem ON o_orderkey = l_orderkey
   WHERE c_mktsegment = 'BUILDING'
   GROUP BY o_orderkey)
-SELECT o_orderkey, revenue FROM (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rn FROM rev)
-WHERE rn <= 10
+SELECT o_orderkey, revenue FROM rev
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
 """
 
 
@@ -239,7 +240,7 @@ def q_pivot(spark, sf_dir):
 
 _O_PIVOT = f"""
 SELECT user_id,
-       {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
                   for t in PIVOT_TYPES)}
 FROM events GROUP BY user_id
 """
@@ -400,17 +401,18 @@ UNION ALL SELECT nk, 'except' AS op FROM (SELECT nk FROM c EXCEPT SELECT nk FROM
 # --------------------------------------------------------------------------
 # sorts / global top-k (§2.6) and histogram (§2.4 bincount analog)
 def q_topk_global(spark, sf_dir):
+    """Global deterministic top-20 as orderBy+limit: plans
+    TakeOrderedAndProject (per-partition heap top-k, driver merge) instead
+    of funnelling the whole table through one unpartitioned-window task."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
-    return (li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
-            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    return (li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+            .limit(20))
 
 
 _O_TOPK = """
-SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-  FROM lineitem)
-WHERE rn <= 20
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
 """
 
 

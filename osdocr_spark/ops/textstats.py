@@ -236,7 +236,7 @@ def t_stratified_sample(spark, sf_dir):
 
 _O_STRATIFIED = """
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
 GROUP BY lang, source

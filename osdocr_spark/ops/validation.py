@@ -55,20 +55,33 @@ FROM documents
 """
 
 
+DF_RATIO_CUTOFF = 0.5  # terms in > half the sample docs carry ~no idf; dropped
+
+
 def v_tfidf_pairs(spark, sf_dir):
     """tf-idf cosine similarity ≥ 0.5 between doc pairs of the doc_id%10==0
     sample: tf = term count, idf = ln(N/df) over the sample, sparse dot via
-    a join on the term."""
+    a join on the term.
+
+    Scale shape: N is computed IN-PLAN (1-row agg, broadcast cross-join) —
+    no driver-side ``count()`` action; and the pairing join runs only over
+    terms with df/N ≤ {DF_RATIO_CUTOFF} (the standard df-cutoff) — the hot
+    stopword postings that would otherwise dominate the term join are
+    dropped BEFORE any pair exists.  Norms keep every term (the cutoff is a
+    pairing optimization with a similarity definition change documented
+    here: high-df terms contribute to norms but not dots — both engines
+    implement the identical definition)."""
     d = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
           .groupBy("doc_id", "w").agg(F.count("*").cast("double").alias("tf")))
     df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
-    wts = (tf.join(df_, "w")
-           .withColumn("wt", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    wts = (tf.join(df_, "w").crossJoin(F.broadcast(n))
+           .withColumn("wt", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))))
     norms = wts.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("nrm"))
-    a = wts.select(F.col("doc_id").alias("a"), "w", F.col("wt").alias("wa"))
-    b = wts.select(F.col("doc_id").alias("b"), "w", F.col("wt").alias("wb"))
+    rare = wts.where(F.col("df") / F.col("n_docs") <= DF_RATIO_CUTOFF)
+    a = rare.select(F.col("doc_id").alias("a"), "w", F.col("wt").alias("wa"))
+    b = rare.select(F.col("doc_id").alias("b"), "w", F.col("wt").alias("wb"))
     dots = (a.join(b, "w").where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
     na = norms.select(F.col("doc_id").alias("a"), F.col("nrm").alias("na"))
@@ -79,21 +92,22 @@ def v_tfidf_pairs(spark, sf_dir):
             .select("a", "b", "cos"))
 
 
-_O_TFIDF = """
+_O_TFIDF = f"""
 WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-n AS (SELECT COUNT(*) AS n_docs FROM s),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM s),
 tf AS (
   SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s)
   GROUP BY doc_id, w),
 idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY w),
 wts AS (
-  SELECT doc_id, w, tf * ln((SELECT n_docs FROM n) / df) AS wt
+  SELECT doc_id, w, df, tf * ln((SELECT n_docs FROM n) / df) AS wt
   FROM tf JOIN idf USING (w)),
 norms AS (SELECT doc_id, SUM(wt * wt) AS nrm FROM wts GROUP BY doc_id),
+rare AS (SELECT * FROM wts WHERE df / (SELECT n_docs FROM n) <= {DF_RATIO_CUTOFF}),
 dots AS (
   SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.wt * y.wt) AS dot
-  FROM wts x JOIN wts y ON x.w = y.w AND x.doc_id < y.doc_id
+  FROM rare x JOIN rare y ON x.w = y.w AND x.doc_id < y.doc_id
   GROUP BY 1, 2)
 SELECT a, b, ROUND(dot / SQRT(na.nrm * nb.nrm), 4) AS cos
 FROM dots JOIN norms na ON dots.a = na.doc_id
@@ -103,8 +117,11 @@ WHERE ROUND(dot / SQRT(na.nrm * nb.nrm), 4) >= 0.5
 
 
 def _jaro_winkler(s1: str, s2: str) -> float:
-    """Jaro–Winkler similarity (standard definition; the reference uses the
-    jellyfish implementation, ``calibrate.py:212``)."""
+    """Jaro–Winkler similarity, boost-threshold variant (the reference uses
+    jellyfish, ``calibrate.py:212``; the common Winkler definition — and
+    DuckDB's ``jaro_winkler_similarity``, verified empirically — applies the
+    prefix boost only when jaro > 0.7, which is what's implemented here so
+    the operator has an exact cross-engine oracle)."""
     if s1 == s2:
         return 1.0
     l1, l2 = len(s1), len(s2)
@@ -133,7 +150,11 @@ def _jaro_winkler(s1: str, s2: str) -> float:
             if s1[i] != s2[k]:
                 t += 1
             k += 1
-    jaro = (matches / l1 + matches / l2 + (matches - t / 2) / matches) / 3
+    # rapidfuzz/DuckDB floor the half-transposition count (integer div),
+    # unlike the classic t/2 — adopted here for the exact cross-engine oracle
+    jaro = (matches / l1 + matches / l2 + (matches - t // 2) / matches) / 3
+    if jaro <= 0.7:  # Winkler boost threshold
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:
@@ -144,7 +165,8 @@ def _jaro_winkler(s1: str, s2: str) -> float:
 
 def v_jaro_winkler(spark, sf_dir):
     """JW similarity between each doc's 40-char prefix and the next doc's
-    (deterministic pairing; rows-only — no SQL JW exists)."""
+    (deterministic pairing; exact DuckDB oracle via
+    ``jaro_winkler_similarity`` — same boost-threshold variant)."""
     d = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 40).alias("p"))
     nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("p").alias("p2"))
     pairs = d.join(nxt, "doc_id").select("doc_id", "p", "p2")
@@ -214,6 +236,14 @@ def v_order_similarity(spark, sf_dir):
     return j.mapInPandas(run, schema)
 
 
+_O_JW = """
+SELECT d.doc_id,
+       ROUND(jaro_winkler_similarity(substring(d.text, 1, 40),
+                                     substring(e.text, 1, 40)), 4) AS jw
+FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+"""
+
+
 # byte parity makes the order metric a constant invariant the oracle can state
 _O_ORDER = """
 SELECT 'https://news-' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/a/'
@@ -232,5 +262,6 @@ QUERIES = {
 ORACLES = {
     "v_unique_word_ratio": _O_UNIQ,
     "v_tfidf_pairs": _O_TFIDF,
+    "v_jaro_winkler": _O_JW,
     "v_order_similarity": _O_ORDER,
 }

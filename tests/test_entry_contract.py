@@ -53,10 +53,9 @@ def test_every_query_has_callable_and_oracle_keys_align(entry_mod):
     orc = entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(orc) <= set(qs)
-    # geometry-derived / non-SQL-expressible queries are the only permitted
-    # oracle-less ones
-    assert set(qs) - set(orc) == {"extract_reading_order", "extract_spans",
-                                  "extract_blocks", "v_jaro_winkler"}
+    # only the raw block-geometry table remains oracle-less (every other
+    # query gained an exact DuckDB oracle in round 2)
+    assert set(qs) - set(orc) == {"extract_blocks"}
 
 
 @pytest.mark.parametrize("name", SUBSET)
@@ -97,6 +96,18 @@ def test_plan_broadcast_joins(spark):
     # and the probe side never becomes a cartesian product
     plan = s_ann_ivf(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_plan_topk_is_take_ordered(spark):
+    """Scale hygiene: global top-k must plan TakeOrderedAndProject
+    (per-partition heap top-k + driver merge) — never an unpartitioned
+    window funnelling the whole table through one task."""
+    from osdocr_spark.ops.relational import q_join_topk, q_topk_global
+
+    for q in (q_topk_global, q_join_topk):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, \
+            f"{q.__name__} lost TakeOrderedAndProject:\n{plan[:2000]}"
 
 
 def test_salted_partitions_balanced(spark):

@@ -167,6 +167,37 @@ def test_hocr_roundtrip():
     assert (d1.w_link == d2.w_link).all()
 
 
+def test_hocr_malformed_content_parity():
+    """Span content containing a bare '<' that never forms a tag must be
+    preserved (BeautifulSoup get_text() parity — ADVICE r1), while an
+    unclosed word span must still yield empty text, not swallow the next
+    word."""
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    def word(txt, x=10):
+        return ("<span class='ocrx_word' id='w' "
+                f"title='bbox {x} 10 {x + 50} 30; x_wconf 90'>{txt}</span>")
+
+    page = ("<html><body>"
+            "<div class='ocr_carea' id='b' title='bbox 0 0 500 40'>"
+            + word("a &lt;ok&gt;")                    # escaped angle brackets
+            + word("a < b", 70)                       # bare '<' in content
+            + word("x <3 y", 140)                     # '<' before a digit
+            + word("<a href='#'>link</a>", 210)       # real non-span tag
+            + "<span class='ocrx_word' id='w' title='bbox 280 10 330 30; "
+              "x_wconf 90'>unclosed "                 # no </span>
+            + word("next", 350)
+            + "</div></body></html>")
+    doc = parse_hocr(page.encode())
+    texts = list(doc.w_text)
+    assert "a <ok>" in texts
+    assert "a < b" in texts
+    assert "x <3 y" in texts
+    assert "link" in texts
+    assert "next" in texts            # not swallowed by the unclosed span
+    assert "unclosed" not in texts    # unclosed span yields empty, as before
+
+
 def test_journal_areas_segments_header_body_footer():
     """get_journal_areas (ocr_tree_analyser.py:248-392): inverted line-top
     projection finds the dense body band between sparse header/footer."""
