@@ -20,7 +20,7 @@ import numpy as np
 
 from . import geometry as g
 from .doc import Document
-from .smoothing import find_peaks, whittaker_smooth
+from .smoothing import find_peaks, savgol_smooth, whittaker_smooth
 
 __all__ = ["get_text_sizes", "get_columns", "get_journal_areas", "analyze_text"]
 
@@ -31,12 +31,18 @@ def _smooth_clip(hist: np.ndarray, lmbda: float, order: int) -> np.ndarray:
     return np.where(sm > 0, sm, 0.0)
 
 
-def get_text_sizes(doc: Document, conf: int = 10) -> dict:
+def get_text_sizes(doc: Document, conf: int = 10,
+                   method: str = "WhittakerSmoother") -> dict:
     """Histogram of line mean word heights (weighted ``1 + n_words``),
-    padded 10% both sides, Whittaker(λ=1e1, order=3), peaks at prominence
-    ``0.1·max`` → ``normal_text_size`` is the highest-frequency peak; other
-    peaks become ``small_text_size_i`` / ``big_text_size_i``
-    (``ocr_tree_analyser.py:16-117``)."""
+    padded 10% both sides, smoothed, peaks at prominence ``0.1·max`` →
+    ``normal_text_size`` is the highest-frequency peak; other peaks become
+    ``small_text_size_i`` / ``big_text_size_i``
+    (``ocr_tree_analyser.py:16-117``).
+
+    ``method`` selects the smoother like the reference's keyword
+    (``:23-26,59-63``): ``'WhittakerSmoother'`` (λ=1e1, order=3, default) or
+    ``'savgol_filter'`` (window ``round(0.1·len)``, polyorder 2); unknown
+    values fall back to Whittaker, matching ``:24-26``."""
     sizes: list[tuple[int, int]] = []  # (rounded mean line height, weight)
     for bi in range(doc.n_blocks()):
         if doc.block_is_empty(bi, conf=conf, only_text=True):
@@ -70,7 +76,11 @@ def get_text_sizes(doc: Document, conf: int = 10) -> dict:
     hist = np.bincount(vals, weights=wts, minlength=int(vals.max()) + 2).astype(np.float64)
     pad = int(round(len(hist) * 0.1))
     hist = np.concatenate([np.zeros(pad), hist, np.zeros(pad)])
-    smooth = _smooth_clip(hist, 1e1, 3)
+    if method == "savgol_filter":
+        sm = savgol_smooth(hist, int(round(len(hist) * 0.1)), 2)
+        smooth = np.where(sm > 0, sm, 0.0)
+    else:
+        smooth = _smooth_clip(hist, 1e1, 3)
     peaks, _ = find_peaks(smooth, prominence=0.1 * smooth.max() if smooth.max() > 0 else 0.0)
     if len(peaks) == 0:
         return out
@@ -190,12 +200,14 @@ def get_journal_areas(doc: Document) -> dict:
     return areas
 
 
-def analyze_text(doc: Document, conf: int = 10) -> dict:
+def analyze_text(doc: Document, conf: int = 10,
+                 method: str = "WhittakerSmoother") -> dict:
     """Combined document stats (``ocr_tree_analyser.py:396-441``):
     text-size peaks + columns + average adjacent-word gap within lines
     (a lag-window shape, done as a vectorized diff) + average character
-    width (Σ word width / Σ chars)."""
-    res = dict(get_text_sizes(doc, conf=conf))
+    width (Σ word width / Σ chars).  ``method`` is the text-size smoother
+    selector forwarded to :func:`get_text_sizes`."""
+    res = dict(get_text_sizes(doc, conf=conf, method=method))
     res["columns"] = get_columns(doc)
 
     # average word distance: per line, successive lefts minus previous rights

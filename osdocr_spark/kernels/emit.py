@@ -23,7 +23,8 @@ import re
 
 from .doc import Document
 
-__all__ = ["fix_hifenization", "assemble_article", "article_to_txt", "document_text"]
+__all__ = ["fix_hifenization", "assemble_article", "make_article",
+           "article_to_txt", "article_pretty_print", "document_text"]
 
 _HYPHen_NL = r"(\w)[\r\t\f\v ]*-(\s*\n\s*-*)([a-z0-9_])"
 _HYPHen_WS = r"(\w)[\r\t\f\v ]*-[\r\t\f\v ]*([a-z0-9_])"
@@ -93,7 +94,30 @@ def assemble_article(doc: Document, block_order: list[int], conf: int = 0) -> di
             item = new_item
     if item:
         body.append(item)
-    return {"title": title, "subtitle": subtitle, "abstract": abstract, "body": body}
+    # ``authors`` stays [] here, faithful to the reference: Article carries
+    # the field (``article.py:25``) but ``from_ocr_trees`` never derives it —
+    # it is only populated via the explicit constructor (``:142-148``,
+    # mirrored by :func:`make_article`) and consumed by pretty-print/str.
+    return {"title": title, "subtitle": subtitle, "authors": [],
+            "abstract": abstract, "body": body}
+
+
+def make_article(title: str | None, authors: list[str], abstract: str | None,
+                 body: list[tuple[str, str]]) -> dict:
+    """Explicit-field article constructor (``Article.init``,
+    ``article.py:142-148``) — the only path that sets ``authors``."""
+    return {"title": title, "subtitle": [], "authors": list(authors),
+            "abstract": abstract, "body": body}
+
+
+def article_pretty_print(article: dict) -> str:
+    """``Article.pretty_print`` (``article.py:151-170``): the banner dump —
+    and the reference's only ``authors`` consumer (``:159``)."""
+    rule = "-" * 34
+    return (f"TITLE: {article['title']}\n{rule}\n{rule}\n"
+            f"        AUTHORS: {', '.join(article.get('authors', []))}\n{rule}\n{rule}\n"
+            f"        ABSTRACT: \n        {article['abstract']}\n{rule}\n{rule}\n"
+            f"        BODY: \n{article['body']}\n\n{rule}")
 
 
 def article_to_txt(article: dict, fix: bool = True, faithful: bool = True) -> str:

@@ -28,7 +28,7 @@ from math import comb
 
 import numpy as np
 
-__all__ = ["whittaker_smooth", "find_peaks"]
+__all__ = ["whittaker_smooth", "savgol_smooth", "find_peaks"]
 
 
 def _difference_stencil(order: int) -> np.ndarray:
@@ -185,6 +185,51 @@ def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
             acc -= lband[k, i] * z[i + k]
         z[i] = acc / lband[0, i]
     return z
+
+
+@lru_cache(maxsize=32)
+def _savgol_eval_matrix(window_length: int, polyorder: int) -> np.ndarray:
+    """H[k] = weights such that ``H[k] · y[s:s+m]`` evaluates the
+    least-squares degree-``polyorder`` fit of the window at offset ``k``
+    (positions centered at ``(m-1)/2``, fractional for even windows like
+    scipy's ``savgol_coeffs`` default ``pos``)."""
+    m, p = window_length, polyorder
+    x = np.arange(m, dtype=np.float64) - (m - 1) / 2.0
+    A = np.vander(x, p + 1, increasing=True)       # A[i,j] = x_i^j
+    proj = np.linalg.solve(A.T @ A, A.T)           # a = proj @ y
+    return np.vander(x, p + 1, increasing=True) @ proj  # H[k] = powers(x_k)·proj
+
+
+def savgol_smooth(y, window_length: int, polyorder: int = 2) -> np.ndarray:
+    """Savitzky–Golay smoothing (deriv 0), scipy-free.
+
+    The alternative histogram smoother the reference selects with
+    ``method='savgol_filter'`` (``ocr_tree_analyser.py:59-66``:
+    ``savgol_filter(line_sizes, round(len(line_sizes)*0.1), 2)``).  Interior
+    samples get the central least-squares fit; edges use scipy's
+    ``mode='interp'`` rule (fit the first/last full window's polynomial and
+    evaluate it at the edge positions).  Deviation from scipy: a window that
+    is too small for the polynomial order (scipy raises) is clamped to
+    ``polyorder + 1``, and signals shorter than the window are returned
+    unsmoothed — the degenerate-histogram tolerance every other kernel here
+    follows."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[0]
+    m = max(int(window_length), polyorder + 1)
+    if n <= m or m <= polyorder:
+        return y.copy()
+    H = _savgol_eval_matrix(m, polyorder)
+    out = np.empty(n, dtype=np.float64)
+    center = (m - 1) // 2
+    # interior: one vectorized sliding-window matvec
+    windows = np.lib.stride_tricks.sliding_window_view(y, m)
+    out[center:center + len(windows)] = windows @ H[center]
+    # edges (interp mode): evaluate the first/last window's fit
+    out[:center] = H[:center] @ y[:m]
+    tail = n - (center + len(windows))
+    if tail > 0:
+        out[-tail:] = H[-tail:] @ y[-m:]
+    return out
 
 
 def _local_maxima(x: np.ndarray) -> np.ndarray:

@@ -156,6 +156,109 @@ def test_golden_reading_order_two_columns():
     assert order == [0, 1, 2, 3, 4, 5, 6]
 
 
+def test_savgol_polynomial_reproduction_and_text_size_parity():
+    """Savitzky–Golay invariant: a degree-≤polyorder signal is reproduced
+    exactly (interior AND interp edges).  Then the reference-style
+    cross-check (OSDOCR tests/analyze_text/test_text_size.py:40-82):
+    method='savgol_filter' must recover the same normal_text_size class as
+    the Whittaker path on the generated corpus."""
+    import numpy as np
+    from osdocr_spark.kernels.analyzer import get_text_sizes
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.hocr import parse_hocr
+    from osdocr_spark.kernels.smoothing import savgol_smooth
+
+    x = np.arange(40, dtype=np.float64)
+    quad = 3.0 - 0.5 * x + 0.25 * x * x
+    assert np.allclose(savgol_smooth(quad, 7, 2), quad, atol=1e-8)
+    assert np.allclose(savgol_smooth(quad, 8, 2), quad, atol=1e-8)  # even window
+
+    text = "the fast key order sort table scan merge group filter " * 10
+    for doc_id in (0, 1, 2, 3, 7, 10):
+        doc = parse_hocr(generate_page(doc_id, text.strip()))
+        w = get_text_sizes(doc, method="WhittakerSmoother")["normal_text_size"]
+        s = get_text_sizes(doc, method="savgol_filter")["normal_text_size"]
+        assert s == w, (doc_id, s, w)
+        # unknown method falls back to Whittaker (reference :24-26)
+        assert get_text_sizes(doc, method="nope")["normal_text_size"] == w
+
+
+def test_explicit_id_ops():
+    """id_boxes / clean_ids / change_ids port (ocr_tree.py:451-504,954-963):
+    sequential assignment, delimiter/area restriction, non-override collision
+    protocol, and the change_ids truthy-guard quirk (id 0 never remapped)."""
+    import numpy as np
+    from osdocr_spark.kernels import geometry as g
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.hocr import parse_hocr
+    from osdocr_spark.kernels.ids import NO_ID, change_ids, clean_ids, id_boxes
+
+    doc = parse_hocr(generate_page(1, "the fast key order sort table scan " * 12))
+    from osdocr_spark.kernels.classify import categorize_blocks
+    categorize_blocks(doc)
+    n = doc.n_blocks()
+    n_delim = sum(doc.block_is_delimiter(bi) for bi in range(n))
+    assert n_delim >= 1  # 3-column page has column rules
+
+    clean_ids(doc)
+    assert (doc.b_id == NO_ID).all()
+
+    # skip delimiters: they stay unset, everyone else sequential in pre-order
+    id_boxes(doc, delimiters=False)
+    unset = [bi for bi in range(n) if doc.b_id[bi] == NO_ID]
+    assert all(doc.block_is_delimiter(bi) for bi in unset)
+    got = [int(i) for i in doc.b_id if i != NO_ID]
+    assert got == list(range(n - len(unset)))
+
+    # area-restricted assignment only touches blocks inside the area
+    clean_ids(doc)
+    area = g.box(0, 400, 0, 10_000)
+    id_boxes(doc, area=area)
+    for bi in range(n):
+        inside = bool(g.is_inside(doc.b_box[bi], area))
+        assert (doc.b_id[bi] != NO_ID) == inside
+
+    # non-override: existing ids kept, duplicates bumped past the max
+    clean_ids(doc)
+    doc.b_id[0] = 5
+    doc.b_id[1] = 5
+    id_boxes(doc, override=False)
+    assert doc.b_id[0] == 5            # first holder keeps the id
+    assert doc.b_id[1] != 5            # duplicate bumped
+    assert len(set(int(i) for i in doc.b_id)) == n
+
+    # change_ids: remap, clean unmapped, never touch the falsy id 0
+    clean_ids(doc)
+    id_boxes(doc)
+    change_ids(doc, {1: 101, 2: 102}, clean=True)
+    assert int(doc.b_id[0]) == 0       # id 0 untouched (truthy guard, :956)
+    assert int(doc.b_id[1]) == 101 and int(doc.b_id[2]) == 102
+    assert (doc.b_id[3:] == NO_ID).all()
+
+
+def test_article_authors_field_and_pretty_print():
+    """Article carries an authors field (article.py:25): empty from tree
+    assembly (from_ocr_trees never derives it), populated via the explicit
+    constructor (:142-148), rendered by pretty_print (:159)."""
+    from osdocr_spark.kernels.classify import boilerplate_mask, categorize_blocks
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.emit import (article_pretty_print,
+                                           assemble_article, make_article)
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    doc = parse_hocr(generate_page(2, "the fast key order sort table scan " * 8))
+    categorize_blocks(doc)
+    bp = boilerplate_mask(doc)
+    art = assemble_article(doc, [i for i in range(doc.n_blocks()) if not bp[i]])
+    assert art["authors"] == []
+
+    a = make_article("T", ["Ada Lovelace", "Alan Turing"], "abs", [("text", "b")])
+    assert a["authors"] == ["Ada Lovelace", "Alan Turing"]
+    out = article_pretty_print(a)
+    assert "AUTHORS: Ada Lovelace, Alan Turing" in out
+    assert "TITLE: T" in out
+
+
 def test_hocr_roundtrip():
     from osdocr_spark.kernels.corpus import generate_page
     from osdocr_spark.kernels.hocr import parse_hocr, to_hocr
