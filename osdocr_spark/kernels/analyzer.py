@@ -42,36 +42,39 @@ def get_text_sizes(doc: Document, conf: int = 10,
     ``method`` selects the smoother like the reference's keyword
     (``:23-26,59-63``): ``'WhittakerSmoother'`` (λ=1e1, order=3, default) or
     ``'savgol_filter'`` (window ``round(0.1·len)``, polyorder 2); unknown
-    values fall back to Whittaker, matching ``:24-26``."""
-    sizes: list[tuple[int, int]] = []  # (rounded mean line height, weight)
-    for bi in range(doc.n_blocks()):
-        if doc.block_is_empty(bi, conf=conf, only_text=True):
-            continue
-        if doc.block_is_vertical_text(bi, conf=conf):
-            continue
-        wi = doc.words_of(bi)
-        wsel = wi[doc.w_conf[wi] >= conf]
-        if len(wsel) == 0:
-            continue
-        # per-line mean word height + stripped-word count in one bincount pass
-        key = doc.w_par[wsel] * 1_000_000 + doc.w_line[wsel]
-        uniq, inv = np.unique(key, return_inverse=True)
-        h = g.height(doc.w_box[wsel]).astype(np.float64)
-        hsum = np.bincount(inv, weights=h, minlength=len(uniq))
-        cnt = np.bincount(inv, minlength=len(uniq))
-        nonblank = np.fromiter((bool(doc.w_text[i].strip()) for i in wsel),
-                               dtype=np.float64, count=len(wsel))
-        nwords = np.bincount(inv, weights=nonblank, minlength=len(uniq))
-        means = hsum / cnt
-        for li in range(len(uniq)):
-            # banker's rounding like the reference's round() on the float mean
-            sizes.append((int(round(float(means[li]))), 1 + int(nwords[li])))
+    values fall back to Whittaker, matching ``:24-26``.
 
+    Single whole-document pass: one combined (block, par, line) key drives
+    one ``np.unique`` + bincount round for every line's mean height and
+    stripped-word count — identical numbers to the reference's per-block
+    walk (``np.rint`` = Python ``round`` = banker's rounding), ~4× less
+    per-block numpy overhead on 5-block pages."""
     out = {"normal_text_size": 0}
-    if not sizes:
+    nb = doc.n_blocks()
+    if nb == 0 or len(doc.w_text) == 0:
         return out
-    vals = np.array([s[0] for s in sizes])
-    wts = np.array([s[1] for s in sizes])
+    conf_ok = doc.w_conf >= conf
+    # not empty(only_text): any confident word-char word in the block
+    nonempty = np.bincount(doc.w_block[conf_ok & doc._w_has_char],
+                           minlength=nb) > 0
+    eligible = np.zeros(nb, dtype=bool)
+    for bi in np.nonzero(nonempty)[0]:
+        eligible[bi] = not doc.block_is_vertical_text(bi, conf=conf)
+    wsel = np.nonzero(conf_ok & eligible[doc.w_block])[0]
+    if len(wsel) == 0:
+        return out
+    key = (doc.w_block[wsel] * 1_000_000_000_000
+           + doc.w_par[wsel] * 1_000_000 + doc.w_line[wsel])
+    uniq, inv = np.unique(key, return_inverse=True)
+    h = g.height(doc.w_box[wsel]).astype(np.float64)
+    hsum = np.bincount(inv, weights=h, minlength=len(uniq))
+    cnt = np.bincount(inv, minlength=len(uniq))
+    nonblank = np.fromiter((bool(doc.w_text[i].strip()) for i in wsel),
+                           dtype=np.float64, count=len(wsel))
+    nwords = np.bincount(inv, weights=nonblank, minlength=len(uniq))
+    # banker's rounding like the reference's round() on the float mean
+    vals = np.rint(hsum / cnt).astype(np.int64)
+    wts = 1.0 + nwords
     # reference list length ends at max(lmh)+2 before padding (``:42-43``)
     hist = np.bincount(vals, weights=wts, minlength=int(vals.max()) + 2).astype(np.float64)
     pad = int(round(len(hist) * 0.1))

@@ -53,6 +53,8 @@ def categorize_blocks(doc: Document, conf: int = 10, override: bool = False,
     normal = analysis.get("normal_text_size", 0)
     avg_char_w = analysis.get("average_character_width", 0.0)
     all_idx = np.arange(doc.n_blocks())
+    # one all-pairs pass instead of a per-block strip+prune semi-join call
+    above_tbl = nb.neighbor_tables(doc.b_box, all_idx)["above"]
 
     for bi in range(doc.n_blocks()):
         if doc.b_type[bi] is not None and not override:
@@ -68,8 +70,7 @@ def categorize_blocks(doc: Document, conf: int = 10, override: bool = False,
                 not doc.block_is_text_size(bi, normal, mean_height=mh, rng=1.0)
                 or not (avg_char_w * 0.5 <= mw <= avg_char_w * 1.5)
             )
-            others = all_idx[all_idx != bi]
-            above = nb.directly_above(doc.b_box, bi, others)
+            above = above_tbl[bi]
 
             if is_text_size and not title_range:
                 if not any(doc.block_is_image(ai, conf=conf) for ai in above):

@@ -18,7 +18,7 @@ import numpy as np
 from . import geometry as g
 
 __all__ = ["directly_below", "directly_right", "directly_above",
-           "below", "right", "above", "left"]
+           "below", "right", "above", "left", "neighbor_tables"]
 
 
 def _strip_extended_vertical(bb: np.ndarray, i: int, all_bottom: int) -> np.ndarray:
@@ -92,6 +92,57 @@ def _dominance_prune(bb: np.ndarray, picked: np.ndarray, axis_top: int,
     same = np.eye(k, dtype=bool)
     invalid = ((pair & worse) & ~same).any(axis=1)
     return picked[~invalid]
+
+
+def neighbor_tables(bb: np.ndarray, idxs: np.ndarray) -> dict:
+    """All-pairs ``directly_below``/``directly_right``/``directly_above``
+    for one block set in ONE vectorized pass — the ordering path asks for
+    every block's neighbors, so n separate strip+prune calls redo the same
+    pairwise overlap tests n times.
+
+    Exactness notes (A/B-verified against the per-call functions):
+
+    - the vertical strip's ``all_bottom`` bound is vacuous for candidates
+      drawn from the same set (every candidate's top ≤ its bottom ≤ the
+      max), so the strip test reduces to pairwise x-overlap;
+    - ``inside=True`` in the dominance pair test is redundant (containment
+      implies axis overlap for well-formed boxes).
+
+    Returns ``{"below"|"right"|"above": {i: [j, ...]}}`` with neighbor lists
+    in ``idxs`` order (matching the per-call candidate order
+    ``idxs[idxs != i]``).
+    """
+    k = len(idxs)
+    out: dict[str, dict[int, list[int]]] = {"below": {}, "right": {}, "above": {}}
+    if k == 0:
+        return out
+    bx = bb[idxs]
+    L_, R_, T_, B_ = bx[:, g.L], bx[:, g.R], bx[:, g.T], bx[:, g.B]
+    xov = (L_[:, None] <= R_[None, :]) & (R_[:, None] >= L_[None, :])
+    yov = ((T_[:, None] <= T_[None, :]) & (B_[:, None] >= T_[None, :])) \
+        | ((T_[None, :] <= T_[:, None]) & (B_[None, :] >= T_[:, None]))
+    # inside[j, i]: box j fully inside box i
+    inside = (L_[:, None] >= L_[None, :]) & (R_[:, None] <= R_[None, :]) \
+        & (T_[:, None] >= T_[None, :]) & (B_[:, None] <= B_[None, :])
+    not_inside = ~inside.T  # [i, j]: j not inside i
+    eye = np.eye(k, dtype=bool)
+
+    below_hit = (T_[None, :] > T_[:, None]) & not_inside & xov
+    right_hit = (R_[None, :] > R_[:, None]) & not_inside & yov & ~xov
+    above_hit = (B_[None, :] < B_[:, None]) & not_inside & xov
+
+    # dominance anti-joins: invalid[i, j] = ∃k∈hit[i]: pair(j,k) & j later
+    m_below = xov & (T_[:, None] > T_[None, :]) & ~eye
+    m_right = yov & (L_[:, None] > L_[None, :]) & ~eye
+    m_above = xov & (B_[:, None] < B_[None, :]) & ~eye
+    for kind, hit, m in (("below", below_hit, m_below),
+                         ("right", right_hit, m_right),
+                         ("above", above_hit, m_above)):
+        direct = hit & ~(hit.astype(np.int8) @ m.T.astype(np.int8) > 0)
+        tbl = out[kind]
+        for a in range(k):
+            tbl[int(idxs[a])] = [int(idxs[b]) for b in np.nonzero(direct[a])[0]]
+    return out
 
 
 def directly_below(bb: np.ndarray, i: int, cand: np.ndarray) -> np.ndarray:

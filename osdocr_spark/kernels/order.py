@@ -190,13 +190,14 @@ def topologic_graph(doc: Document, block_idx: list[int]) -> DGraph | None:
             graph.add_node(i)
 
     nd_arr = np.array(non_delims, dtype=np.int64)
+    # one all-pairs pass replaces the per-node strip+prune semi-join calls
+    tables = nb.neighbor_tables(bb, nd_arr)
     visited: list[int] = []
     current = first
     while current is not None:
         visited.append(current)
-        others = nd_arr[nd_arr != current]
-        right_blocks = [int(x) for x in nb.directly_right(bb, current, others)]
-        below_blocks = [int(x) for x in nb.directly_below(bb, current, others)]
+        right_blocks = tables["right"][current]
+        below_blocks = tables["below"][current]
         potential = right_blocks + below_blocks
         # skip targets the current node already reaches (ancestor check,
         # ``:1295-1301`` — implemented as a filter, see module docstring)
@@ -222,18 +223,18 @@ class _AttractionCache:
     def __init__(self, doc: Document, blocks: list[int]):
         self.doc = doc
         self.barr = np.array(blocks, dtype=np.int64)
-        self._nb: dict[tuple[str, int], list[int]] = {}
+        self._tables: dict | None = None
         self._dist: dict[int, tuple[float, float]] = {}
 
     def neighbors(self, kind: str, i: int) -> list[int]:
-        key = (kind, i)
-        hit = self._nb.get(key)
-        if hit is None:
-            others = self.barr[self.barr != i]
+        if self._tables is None:
+            self._tables = nb.neighbor_tables(self.doc.b_box, self.barr)
+        hit = self._tables[kind].get(i)
+        if hit is None:  # i outside the block set: per-call fallback
             fn = {"below": nb.directly_below, "right": nb.directly_right,
                   "above": nb.directly_above}[kind]
-            hit = [int(x) for x in fn(self.doc.b_box, i, others)]
-            self._nb[key] = hit
+            hit = [int(x) for x in fn(self.doc.b_box, i, self.barr[self.barr != i])]
+            self._tables[kind][i] = hit
         return hit
 
     def dist_range(self, i: int) -> tuple[float, float]:
