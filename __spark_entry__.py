@@ -9,9 +9,10 @@ is byte-identical to the whitespace-normalized source document text.
 
 ``queries()`` / ``oracle_sql()`` expose the full operator surface
 (SURVEY.md §2 relational analogs + dedup / similarity-search /
-text-analysis / extraction suites); oracle-less keys are geometry-derived
-outputs the driver checks rows-only (reading order & spans are instead
-validated transitively by the byte-parity ``extract_text`` oracle).
+text-analysis / extraction suites).  Every query has an exact DuckDB oracle
+except ``extract_blocks`` (raw block-geometry table, rows-only); reading
+order and spans are oracled by a recursive CTE that re-derives the
+generator's line-wrap arithmetic (``ops/extraction.py``).
 """
 
 from __future__ import annotations

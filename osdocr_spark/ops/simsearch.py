@@ -277,11 +277,120 @@ WHERE rn <= {IVF_TOPK}
 """
 
 
+M_PQ = 8            # subspaces (64-d → 8 × 8-d)
+DSUB = DIM // M_PQ
+K_PQ = 16           # centroids per subspace
+PQ_STRIDE = 13      # codebook row c = embedding of vec_id 13·c (exists at every SF)
+PQ_TOPK = 3
+
+
+def _pq_codebook(spark, sf_dir) -> list[list[list[float]]]:
+    """Deterministic PQ "training": codebook row ``c`` is the embedding of
+    vec_id ``13·c``, split into 8 contiguous 8-d sub-centroids.  A real
+    deployment k-means a driver-side sample per subspace — the
+    collect-tiny-then-literal-fold shape is identical; 16×64 doubles."""
+    rows = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .where((F.col("vec_id") % PQ_STRIDE == 0)
+                   & (F.col("vec_id") < PQ_STRIDE * K_PQ))
+            .select("vec_id", "embedding").collect())
+    full = {int(r["vec_id"]) // PQ_STRIDE: [float(x) for x in r["embedding"]]
+            for r in rows}
+    return [[full[c][m * DSUB:(m + 1) * DSUB] for c in sorted(full)]
+            for m in range(M_PQ)]
+
+
+def _arr_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in vec) + ")"
+
+
+def s_ann_pq(spark, sf_dir):
+    """Product-quantized ANN (Jégou et al., TPAMI'11 shape): every vector is
+    encoded as 8 sub-codes (nearest of 16 literal sub-centroids per 8-d
+    subspace — a NARROW map, no shuffle/join, the pattern that matters at
+    10^12 rows), queries scan candidates against the *reconstructed*
+    vectors (ADC): cos(q, concat(codebook[m][code_m])) — the index is 8
+    bytes/vector instead of 256.  Exact top-3 within the approximation;
+    sub-distances rounded 4dp before the argmin with smallest-centroid
+    tie-break so both engines pick identical codes."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    # per-subspace code: lexicographic min of (rounded sq-distance, c)
+    recon_parts = []
+    for m in range(M_PQ):
+        structs = []
+        for c in range(K_PQ):
+            d2 = (f"aggregate(zip_with(slice(embedding, {m * DSUB + 1}, {DSUB}),"
+                  f" {_arr_sql(cb[m][c])},"
+                  " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                  " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+            structs.append(F.struct(F.round(F.expr(d2), 4).alias("d"),
+                                    F.lit(c).alias("c")))
+        code = F.array_min(F.array(*structs))["c"]
+        cents_m = "array(" + ",".join(_arr_sql(cb[m][c]) for c in range(K_PQ)) + ")"
+        recon_parts.append(F.element_at(F.expr(cents_m), code + 1))
+    coded = e.select("vec_id", "embedding",
+                     F.flatten(F.array(*recon_parts)).alias("recon"))
+    q = (coded.where(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("a")))
+    c_ = coded.select(F.col("vec_id").alias("c_id"), F.col("recon").alias("b"))
+    j = c_.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+    scored = _with_cos(j)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= PQ_TOPK)
+            .select("q_id", "c_id", "cos", "rn"))
+
+
+_O_ANN_PQ = f"""
+WITH cb AS (
+  SELECT CAST(vec_id // {PQ_STRIDE} AS INT) AS c, embedding AS ce
+  FROM embeddings
+  WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * K_PQ}),
+subdist AS (
+  SELECT e.vec_id, m.m, cb.c,
+         ROUND(SUM((CAST(e.embedding[m.m * {DSUB} + i] AS DOUBLE)
+                    - CAST(cb.ce[m.m * {DSUB} + i] AS DOUBLE))
+                   * (CAST(e.embedding[m.m * {DSUB} + i] AS DOUBLE)
+                      - CAST(cb.ce[m.m * {DSUB} + i] AS DOUBLE))), 4) AS d
+  FROM embeddings e, range(0, {M_PQ}) m(m), cb, range(1, {DSUB + 1}) r(i)
+  GROUP BY e.vec_id, m.m, cb.c),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+    FROM subdist) WHERE rn = 1),
+recon AS (
+  SELECT k.vec_id, k.m, i AS sub_i,
+         CAST(cb.ce[k.m * {DSUB} + i] AS DOUBLE) AS rv
+  FROM codes k JOIN cb USING (c), range(1, {DSUB + 1}) r(i)),
+rnorm AS (
+  SELECT vec_id, SUM(rv * rv) AS nrm FROM recon GROUP BY vec_id),
+qnorm AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM embeddings, range(1, {DIM + 1}) r(i)
+  WHERE vec_id % 50 = 0 GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS q_id, rec.vec_id AS c_id,
+         SUM(CAST(q.embedding[rec.m * {DSUB} + rec.sub_i] AS DOUBLE) * rec.rv) AS dot
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0) q
+  JOIN recon rec ON rec.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (SQRT(qn.nrm) * SQRT(rn.nrm)), 4) AS cos
+  FROM dots JOIN qnorm qn ON q_id = qn.vec_id JOIN rnorm rn ON c_id = rn.vec_id)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rn
+  FROM scored)
+WHERE rn <= {PQ_TOPK}
+"""
+
+
 QUERIES = {
     "s_ann_bruteforce": s_ann_bruteforce,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh": s_ann_lsh,
     "s_ann_ivf": s_ann_ivf,
+    "s_ann_pq": s_ann_pq,
 }
 
 ORACLES = {
@@ -289,4 +398,5 @@ ORACLES = {
     "s_lsh_buckets": _O_LSH_BUCKETS,
     "s_ann_lsh": _O_ANN_LSH,
     "s_ann_ivf": _O_ANN_IVF,
+    "s_ann_pq": _O_ANN_PQ,
 }

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from .stages import PAGES_SCHEMA, extract_pages
 
-__all__ = ["stream_extract", "stream_domain_stats", "stream_first_seen"]
+__all__ = ["stream_extract", "stream_domain_stats", "stream_first_seen",
+           "stream_minhash_candidates"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, out_dir: str,
@@ -150,6 +151,104 @@ def stream_first_seen(spark: SparkSession, pages_dir: str, out_dir: str,
         .format("parquet")
         .option("path", os.path.join(out_dir, "first_seen"))
         .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_minhash_candidates(spark: SparkSession, pages_dir: str, out_dir: str,
+                              max_files_per_trigger: int = 8,
+                              bucket_cap: int = 100):
+    """Streaming MinHash LSH: near-dup CANDIDATE pairs online — the
+    streaming form of the batch ``d_minhash_pairs`` operator
+    (``osdocr_spark.ops.dedup``), for a crawl feed where duplicates must be
+    flagged as they arrive rather than in a nightly batch.
+
+    Shape: a narrow ``mapInPandas`` computes each page's 4-band minhash
+    signature (byte-identical hashing to the batch path: lexicographic min
+    of ``md5(f"{band}:{shingle}")`` over distinct word-3-gram shingles),
+    explodes it to (band, sig) keys, and ``applyInPandasWithState`` keyed by
+    the LSH bucket holds the bucket's seen urls: the first url becomes the
+    bucket anchor, every later arrival emits an (url, anchor, band)
+    candidate.  State per bucket is capped at ``bucket_cap`` urls (the same
+    degenerate-shingle-flood guard as the batch cap — beyond it the bucket
+    stops emitting, a documented coverage bound).  At scale the state store
+    shards by bucket key, so a bucket's set never leaves its executor.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    N_BANDS = 4
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(pages_dir)
+        .select("url", "text")
+    )
+
+    sig_schema = T.StructType([
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sig", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ])
+
+    def signatures(batches):
+        for pdf in batches:
+            bands, sigs, urls = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) < 3:
+                    continue
+                shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+                for k in range(N_BANDS):
+                    sig = min(hashlib.md5(f"{k}:{s}".encode()).hexdigest()
+                              for s in shingles)
+                    bands.append(k)
+                    sigs.append(sig)
+                    urls.append(url)
+            yield pd.DataFrame({"band": bands, "sig": sigs, "url": urls})
+
+    keyed = pages.mapInPandas(signatures, sig_schema)
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("seen", T.ArrayType(T.StringType())),
+    ])
+
+    def pair_up(key, pdfs, state: GroupState):
+        band = int(key[0])
+        seen = list(state.get[0]) if state.exists else []
+        have = set(seen)
+        fresh = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if url in have or len(seen) >= bucket_cap:
+                    continue
+                have.add(url)
+                seen.append(url)
+                if len(seen) > 1:
+                    fresh.append(url)
+        state.update((seen,))
+        yield pd.DataFrame({"url": fresh,
+                            "anchor": [seen[0]] * len(fresh),
+                            "band": [band] * len(fresh)})
+
+    cands = keyed.groupBy("band", "sig").applyInPandasWithState(
+        pair_up, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    return (
+        cands.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "minhash_candidates"))
+        .option("checkpointLocation", os.path.join(out_dir, "_minhash_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )

@@ -107,6 +107,43 @@ def test_stream_windowed_watermark(spark, tmp_path):
     assert sum(n for n, _ in g.values()) == 500
 
 
+def test_stream_minhash_candidates(spark, tmp_path):
+    """Streaming MinHash LSH: per (band, sig) bucket every url after the
+    first emits one candidate against the bucket anchor; state survives
+    micro-batches (anchors from batch 1 pair with batch 2 arrivals); the
+    hashing is byte-identical to the batch d_minhash signatures."""
+    from pyspark.sql import functions as F
+    from osdocr_spark.ops.dedup import d_minhash
+    from osdocr_spark.spark.jobs import load_pages
+    from osdocr_spark.spark.streaming import stream_minhash_candidates
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages = load_pages(spark, SF, num_partitions=4)
+    _write_one_file(pages.limit(250), pages_dir, 1_700_000_000)
+    _write_one_file(pages.subtract(pages.limit(250)), pages_dir, 1_700_000_100)
+
+    q = stream_minhash_candidates(spark, pages_dir, out_dir, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(os.path.join(out_dir, "minhash_candidates"))
+    # expected: per band-bucket of the batch signatures, size - 1 candidates
+    sig = d_minhash(spark, SF)
+    bands = sig.select("doc_id", F.posexplode(F.array(
+        *[F.col(f"sig_{k}") for k in range(4)])).alias("band", "sig"))
+    buckets = bands.groupBy("band", "sig").count().where("count > 1")
+    expected_n = buckets.select(F.sum(F.col("count") - 1)).collect()[0][0] or 0
+    assert got.count() == expected_n
+    # every candidate's url differs from its anchor, band in range
+    assert got.where("url = anchor").count() == 0
+    assert got.select("band").distinct().count() <= 4
+    # anchor really is a bucket member: candidates ∪ anchors per band-bucket
+    # never exceeds the batch bucket size
+    if expected_n:
+        per = got.groupBy("band", "anchor").count().agg(F.max("count")).collect()[0][0]
+        assert per <= 99  # bucket_cap - 1 bound
+
+
 def test_stream_first_seen_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState: re-delivered urls are suppressed across
     micro-batches (per-domain state survives between batches)."""
