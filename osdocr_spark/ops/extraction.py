@@ -38,8 +38,10 @@ def extract_text(spark, sf_dir):
     import os as _os
     from ..spark.stages import extract_documents_fused, salted_repartition
     docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    # 1× cores (re-measured round 2: kernel is ~2× faster, so the old 4×
+    # straggler overcommit now just pays task overhead — 3840 vs 3119 docs/s)
     docs = salted_repartition(
-        docs, spark.sparkContext.defaultParallelism * 4, key="doc_id")
+        docs, spark.sparkContext.defaultParallelism, key="doc_id")
     return extract_documents_fused(docs).select("url", "text")
 
 

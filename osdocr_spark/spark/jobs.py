@@ -39,10 +39,11 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
     if num_partitions is None:
         # a small single-file parquet scans as ONE partition — without this
         # the Arrow kernels run on one core regardless of cluster size.
-        # 4× overcommit: per-doc extraction cost varies with text length, so
-        # finer tasks let the scheduler absorb stragglers (measured ~2× wall
-        # at sf0.1/local[32] vs 2× overcommit)
-        num_partitions = spark.sparkContext.defaultParallelism * 4
+        # 1× cores: the round-1 4× straggler overcommit was re-measured after
+        # the round-2 kernel vectorization — with per-doc cost halved, task
+        # overhead dominates and 1× wins (3840 vs 3119 docs/s at
+        # sf0.1/local[32]); the salted hash keeps partitions uniform
+        num_partitions = spark.sparkContext.defaultParallelism
     docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
     return pages_from_documents(docs, noisy=noisy, multi_article=multi_article)
 
