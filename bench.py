@@ -77,7 +77,9 @@ def _run_extraction_fused(spark, sf_dir: str, replicate: int, cpus: int) -> tupl
     big = parts[0]
     for p in parts[1:]:
         big = big.union(p)
-    big = salted_repartition(big, cpus * 4, key="doc_id")
+    # 1× cores, matching the production default (re-tuned round 2 after the
+    # kernel vectorization; the old 4× overcommit now just pays task overhead)
+    big = salted_repartition(big, cpus, key="doc_id")
     t0 = time.time()
     n = extract_documents_fused(big).count()
     assert n == n_base * replicate
@@ -93,26 +95,34 @@ def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     qs = E.queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     n_docs = 0
     for name in HEADLINE:
-        # best of 3: first run pays one-off costs (plan compilation, scan
-        # cache, python-worker spin-up for stages the warmup didn't touch),
-        # and this VM has bursty external noise windows; steady-state
-        # throughput is what the baseline compares
-        best = float("inf")
+        # best of 3 (min): first run pays one-off costs (plan compilation,
+        # scan cache, python-worker spin-up for stages the warmup didn't
+        # touch), and this VM has bursty external noise windows;
+        # steady-state throughput is what the baseline compares.  The
+        # median-of-3 is reported alongside to bound the min's optimism
+        # (methodology switched from single-run to min-of-3 mid-round-1 —
+        # recorded here so cross-methodology ratios aren't quoted blind).
+        runs = []
         for _ in range(3):
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+            runs.append(time.time() - t0)
         if name == "extract_text":
             n_docs = n
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "methodology": "per-query min-of-3 in one warm session (since mid-r1);"
+                       " median-of-3 alongside; see BENCH/BASELINE.md",
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "docs": n_docs,
