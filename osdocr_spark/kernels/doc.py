@@ -72,6 +72,8 @@ class Document:
         self._line_cache: dict = {}
         self._words_cache: dict = {}
         self._vt_cache: dict = {}
+        self._lines_built: set = set()
+        self._nonempty_cache: dict = {}
 
     # ---------------------------------------------------------------- words
     def n_blocks(self) -> int:
@@ -91,11 +93,13 @@ class Document:
         text above ``conf``.  Images are never empty unless ``only_text``."""
         if not only_text and self.b_type[bi] == "image":
             return False
-        wi = self.words_of(bi)
-        if len(wi) == 0:
-            return True
-        ok = (self.w_conf[wi] >= conf) & self._w_has_char[wi]
-        return not bool(ok.any())
+        nonempty = self._nonempty_cache.get(conf)
+        if nonempty is None:  # one whole-doc bincount serves every block
+            mask = (self.w_conf >= conf) & self._w_has_char
+            nonempty = np.bincount(self.w_block[mask],
+                                   minlength=self.n_blocks()) > 0
+            self._nonempty_cache[conf] = nonempty
+        return not bool(nonempty[bi])
 
     def block_is_delimiter(self, bi: int, conf: int = 0, only_type: bool = False) -> bool:
         """``is_delimiter`` (``ocr_tree.py:588-600``): typed, or empty with
@@ -135,6 +139,15 @@ class Document:
         hit = self._line_cache.get((bi, conf))
         if hit is not None:
             return hit
+        if conf not in self._lines_built:
+            # first miss for this conf: build every block's table in ONE
+            # whole-document unique+bincount pass (identical per-block
+            # results; the per-block path below remains as the fallback)
+            self._lines_built.add(conf)
+            self._build_all_line_tables(conf)
+            hit = self._line_cache.get((bi, conf))
+            if hit is not None:
+                return hit
         wi = self.words_of(bi)
         if conf >= 0:
             wi = wi[self.w_conf[wi] >= conf]
@@ -156,6 +169,41 @@ class Document:
         hit = (keys, boxes, counts)
         self._line_cache[(bi, conf)] = hit
         return hit
+
+    def _build_all_line_tables(self, conf: int) -> None:
+        """Populate ``_line_cache[(bi, conf)]`` for every block in one
+        whole-document pass (same math as the per-block path)."""
+        wi = np.arange(len(self.w_text))
+        if conf >= 0:
+            wi = wi[self.w_conf >= conf]
+        nb = self.n_blocks()
+        empty = (np.empty((0, 2), np.int64), np.empty((0, 4), np.int64),
+                 np.empty(0, np.int64))
+        if len(wi) == 0:
+            for bi in range(nb):
+                self._line_cache[(bi, conf)] = empty
+            return
+        key = (self.w_block[wi] * 1_000_000_000_000
+               + self.w_par[wi] * 1_000_000 + self.w_line[wi])
+        uniq, inv = np.unique(key, return_inverse=True)
+        nl = len(uniq)
+        boxes = np.empty((nl, 4), dtype=np.int64)
+        for c, fn in ((g.L, np.minimum), (g.R, np.maximum),
+                      (g.T, np.minimum), (g.B, np.maximum)):
+            init = np.full(nl, np.iinfo(np.int64).max if fn is np.minimum
+                           else np.iinfo(np.int64).min)
+            fn.at(init, inv, self.w_box[wi, c])
+            boxes[:, c] = init
+        counts = np.bincount(inv, minlength=nl)
+        blk = uniq // 1_000_000_000_000
+        rem = uniq % 1_000_000_000_000
+        keys = np.stack([rem // 1_000_000, rem % 1_000_000], axis=1)
+        starts = np.searchsorted(blk, np.arange(nb))
+        ends = np.searchsorted(blk, np.arange(nb), side="right")
+        for bi in range(nb):
+            s, e = starts[bi], ends[bi]
+            self._line_cache[(bi, conf)] = (
+                (keys[s:e], boxes[s:e], counts[s:e]) if e > s else empty)
 
     def block_mean_word_height(self, bi: int, conf: int = -1) -> float:
         """``calculate_mean_height(level=5)`` (``ocr_tree.py:530-539``)."""

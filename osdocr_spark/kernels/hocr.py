@@ -94,7 +94,9 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
             conf = int(cm.group(1)) if cm else default_conf
             raw = inner or ""
             is_link = "<a" in raw
-            word = _html.unescape(_TAG.sub("", raw)).strip()
+            # tag-strip only when a tag can exist (most words are plain text)
+            word = _TAG.sub("", raw) if "<" in raw else raw
+            word = _html.unescape(word).strip()
             w_box.append((x0, x1, y0, y1))
             w_conf.append(conf)
             w_text.append(word)

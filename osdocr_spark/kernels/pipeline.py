@@ -65,8 +65,7 @@ def extract_document(doc: Document, conf: int = 10) -> dict:
     # (hyphen merges replicate fix_hifenization's join, attributed to the
     # block holding the first fragment)
     emitted: list[int] = []
-    for art in articles:
-        a = assemble_article(doc, art)
+    for art, a in zip(articles, assembled):  # reuse: assemble is pure
         title_block = None
         if a["title"] is not None:
             cands = [b for b in art if doc.b_type[b] == "title"]
