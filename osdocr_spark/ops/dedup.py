@@ -326,6 +326,50 @@ FROM sel WHERE i >= {WINNOW_W}
 """
 
 
+WINNOW_PAIR_MIN = 2    # pairs must share ≥ this many fingerprints
+FP_CAP = 100           # fingerprints shared by more docs are floods, skipped
+
+
+def d_winnow_pairs(spark, sf_dir):
+    """Winnowing-based near-dup JOIN: doc pairs sharing ≥{WINNOW_PAIR_MIN}
+    winnow fingerprints, with the shared count — the guaranteed-coverage
+    alternative to MinHash candidates (winnowing promises any match ≥
+    K+W-1 chars shares a fingerprint; Schleimer et al., SIGMOD'03 §4).
+
+    Scale shape mirrors ``d_minhash_pairs``: gather each fingerprint's
+    (distinct) doc list after a two-phase count-first cap — a fingerprint
+    shared by > {FP_CAP} docs is a boilerplate flood and is skipped (logged
+    coverage bound) — then expand pairs with a narrow in-array transform;
+    no self-join, so a hot fingerprint can never explode a join task."""
+    fps = d_winnow(spark, sf_dir).select("doc_id", "fp").distinct()
+    small = (fps.groupBy("fp").agg(F.count("*").alias("n"))
+             .where((F.col("n") > 1) & (F.col("n") <= FP_CAP))
+             .select("fp"))
+    buckets = (fps.join(small, "fp", "left_semi")
+               .groupBy("fp")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids")))
+    pair_expr = """
+    flatten(transform(ids, (x, i) ->
+      transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))
+    """
+    return (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= WINNOW_PAIR_MIN)
+            .select("a", "b", "n_shared"))
+
+
+_O_WINNOW_PAIRS = f"""
+WITH w AS ({_O_WINNOW}),
+fps AS (SELECT DISTINCT doc_id, fp FROM w),
+small AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1 AND COUNT(*) <= {FP_CAP})
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+FROM fps x JOIN small USING (fp)
+           JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
+"""
+
+
 def d_cc_clusters(spark, sf_dir):
     """Dedup clustering: connected components over the LSH candidate pairs —
     every doc labeled with the min doc_id of its component (the step that
@@ -405,9 +449,11 @@ QUERIES = {
     "d_embedding_neardup": d_embedding_neardup,
     "d_cc_clusters": d_cc_clusters,
     "d_winnow": d_winnow,
+    "d_winnow_pairs": d_winnow_pairs,
 }
 
 ORACLES = {
+    "d_winnow_pairs": _O_WINNOW_PAIRS,
     "d_exact": _O_EXACT,
     "d_minhash": _O_MINHASH,
     "d_minhash_pairs": _O_MINHASH_PAIRS,

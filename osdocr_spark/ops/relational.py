@@ -378,6 +378,29 @@ FROM events GROUP BY user_id
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Sketch-backed distinct counting beside its exact anchor: per event
+    type, the exact ``COUNT(DISTINCT user_id)`` plus a flag that Spark's
+    HyperLogLog++ estimate (rsd 2%) landed within ±5% of it.  At 100 TB the
+    sketch is the one that runs (fixed-size partial state, no distinct
+    shuffle); the exact form here is the correctness anchor the sketch is
+    validated against, and the flag — deterministic, HLL++ is a pure
+    function of the data — is what the cross-engine oracle can state."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    return (ev.groupBy("event_type")
+            .agg(exact.alias("n_exact"),
+                 ((F.abs(approx - exact) / exact) <= 0.05).alias("hll_ok")))
+
+
+_O_HLL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """Union/intersect/except over nation-key sets (visited/non-visited set
     difference analog, §2.7)."""
@@ -549,6 +572,7 @@ QUERIES = {
     "q_window_topk": q_window_topk,
     "q_sessionize": q_sessionize,
     "q_distinct_agg": q_distinct_agg,
+    "q_hll_distinct": q_hll_distinct,
     "q_set_ops": q_set_ops,
     "q_topk_global": q_topk_global,
     "q_histogram": q_histogram,
@@ -573,6 +597,7 @@ ORACLES = {
     "q_window_topk": _O_WTOPK,
     "q_sessionize": _O_SESS,
     "q_distinct_agg": _O_DISTINCT,
+    "q_hll_distinct": _O_HLL,
     "q_set_ops": _O_SETOPS,
     "q_topk_global": _O_TOPK,
     "q_histogram": _O_HIST,
