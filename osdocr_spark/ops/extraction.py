@@ -11,8 +11,9 @@ Geometry-derived outputs (reading order, spans) depend on the generator's
 line-wrap arithmetic — re-derived exactly in SQL by ``_O_WRAP_PREFIX``, a
 recursive CTE that simulates ``kernels.corpus._wrap_words`` (greedy
 char-count wrap + deterministic hyphen splits) step by step, validated
-word-for-word against the kernel on the full sf0.001 corpus.  Only
-``extract_blocks`` (raw geometry table) remains rows-only.
+word-for-word against the kernel on the full sf0.001 corpus — and the full
+blocks table (geometry, counts, densities) is rebuilt by the same sim plus
+pure layout arithmetic, so EVERY query here carries an exact oracle.
 """
 
 from __future__ import annotations
@@ -165,8 +166,10 @@ def extract_spans(spark, sf_dir):
 
 
 def extract_blocks(spark, sf_dir):
-    """The parsed+typed ``blocks`` intermediate table (rows-only): geometry,
-    link density, and the reference type taxonomy per block."""
+    """The parsed+typed ``blocks`` intermediate table: geometry, link
+    density, and the reference type taxonomy per block.  Exact oracle: the
+    wrap sim + layout arithmetic rebuild every row (nav, title, body,
+    delimiters, footer) including boxes, word/line counts and densities."""
     return blocks_from_pages(load_pages(spark, sf_dir))
 
 
@@ -197,11 +200,20 @@ FROM documents
 # wrap at cpl chars/line, deterministic hyphen split when
 # (doc_id*31 + wi) % 23 == 0, len(w) >= 6, < 4 splits, mid-line) re-derived
 # as a recursive CTE: one recursion step per consumed queue item (fresh word
-# or re-queued hyphen half), state = (queue pos, pending half, open-line
-# length, completed lines, splits, wi).  Fresh-word steps also emit the
-# word's attributed line (split words → line of the FIRST fragment, matching
-# the pipeline's span attribution).  Validated step-for-step against the
-# kernel over the full sf0.001 corpus (0 mismatches, 500 docs).
+# or re-queued hyphen half); state = (queue pos, pending half, open-line
+# chars/items, completed lines, splits, wi).  Two streams share the machine:
+# stream 0 = body words (hyphen splits live), stream 1 = title words (splits
+# pre-exhausted: the generator wraps titles with allow_hyphen=False).  Steps
+# emit (a) the consumed fresh word's attributed line (split words → line of
+# the FIRST fragment, matching the pipeline's span attribution) and (b) on
+# every line close, that line's char width and item count (feeding the block
+# geometry oracle).  Validated step-for-step against the kernel over the
+# full sf0.001 corpus (0 mismatches, 500 docs, all three oracles).
+_NAV_LEN_SQL = "[" + ",".join(
+    str(len(w)) for w in ("home", "login", "subscribe", "menu", "search",
+                          "contact", "about", "privacy", "terms", "sitemap")
+) + "]"
+
 _O_WRAP_PREFIX = f"""
 WITH RECURSIVE
 lay AS (
@@ -213,37 +225,69 @@ lay AS (
          CASE WHEN len(string_split(text, ' ')) < 24 THEN 2 ELSE 4 END AS title_n,
          CASE WHEN len(string_split(text, ' ')) < 40 THEN 1 ELSE 2 + CAST(doc_id % 2 AS INT) END AS n_cols
   FROM documents),
-lay3 AS (
-  SELECT *, GREATEST(((1240 - 80 - (n_cols - 1) * 20) // n_cols) // ((s * 3) // 5), 8) AS cpl,
-         ws[title_n + 1:] AS bw
+lay2 AS (
+  SELECT *, (s * 5) // 2 AS tsize, ((s * 5) // 2) * 3 // 5 AS tcw, (s * 3) // 5 AS cw,
+         (1240 - 80 - (n_cols - 1) * 20) // n_cols AS col_w
   FROM lay),
-sim(doc_id, i, pending, cur_len, has_cur, n_lines, splits, wi, word_idx, attr_line) AS (
-  SELECT doc_id, 1, CAST(NULL AS VARCHAR), 0, FALSE, 0, 0, 0,
-         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+lay3 AS (
+  SELECT *, GREATEST(col_w // cw, 8) AS cpl,
+         (1240 - 80) // tcw AS cpl_t,
+         ws[title_n + 1:] AS bw,
+         ws[1:title_n] AS tw
+  FROM lay2),
+sim(stream, doc_id, i, pending, cur_len, items, has_cur, n_lines, splits, wi,
+    word_idx, attr_line, close_line, close_chars, close_items) AS (
+  SELECT 0, doc_id, 1, CAST(NULL AS VARCHAR), 0, 0, FALSE, 0, 0, 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
   FROM lay3 WHERE len(bw) > 0
   UNION ALL
-  SELECT s.doc_id,
+  SELECT 1, doc_id, 1, CAST(NULL AS VARCHAR), 0, 0, FALSE, 0, 4, 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM lay3 WHERE len(tw) > 0
+  UNION ALL
+  SELECT s.stream, s.doc_id,
          CASE WHEN s.pending IS NULL THEN s.i + 1 ELSE s.i END,
          CASE WHEN st.do_split THEN substring(st.w, strlen(st.w) // 2 + 1) END,
          CASE WHEN st.do_split THEN 0
               WHEN st.fits THEN s.cur_len + st.add ELSE strlen(st.w) END,
+         CASE WHEN st.do_split THEN 0
+              WHEN st.fits THEN s.items + 1 ELSE 1 END,
          NOT st.do_split,
          s.n_lines + CASE WHEN st.do_split OR NOT st.fits THEN 1 ELSE 0 END,
          s.splits + CASE WHEN st.do_split THEN 1 ELSE 0 END,
          s.wi + 1,
          CASE WHEN s.pending IS NULL THEN s.i END,
          CASE WHEN s.pending IS NULL THEN
-              CASE WHEN st.fits THEN s.n_lines ELSE s.n_lines + 1 END END
+              CASE WHEN st.fits THEN s.n_lines ELSE s.n_lines + 1 END END,
+         CASE WHEN st.do_split OR NOT st.fits THEN s.n_lines END,
+         CASE WHEN st.do_split THEN s.cur_len + strlen(st.w) // 2 + 2
+              WHEN NOT st.fits THEN s.cur_len END,
+         CASE WHEN st.do_split THEN s.items + 1
+              WHEN NOT st.fits THEN s.items END
   FROM sim s JOIN lay3 l USING (doc_id),
   LATERAL (
     SELECT w, add, fits,
            fits AND s.splits < 4 AND strlen(w) >= 6
                 AND (s.doc_id * 31 + s.wi) % 23 = 0 AND s.has_cur AS do_split
-    FROM (SELECT COALESCE(s.pending, l.bw[s.i]) AS w),
+    FROM (SELECT COALESCE(s.pending,
+                          CASE WHEN s.stream = 0 THEN l.bw[s.i] ELSE l.tw[s.i] END) AS w),
          LATERAL (SELECT strlen(w) + CASE WHEN s.has_cur THEN 1 ELSE 0 END AS add),
-         LATERAL (SELECT s.cur_len + add <= l.cpl OR NOT s.has_cur AS fits)
+         LATERAL (SELECT s.cur_len + add <= (CASE WHEN s.stream = 0 THEN l.cpl ELSE l.cpl_t END)
+                         OR NOT s.has_cur AS fits)
   ) st
-  WHERE s.pending IS NOT NULL OR s.i <= len(l.bw)
+  WHERE s.pending IS NOT NULL
+     OR s.i <= (CASE WHEN s.stream = 0 THEN len(l.bw) ELSE len(l.tw) END)
+),
+lines AS (
+  SELECT stream, doc_id, close_line AS line_idx, close_chars AS chars, close_items AS items
+  FROM sim WHERE close_line IS NOT NULL
+  UNION ALL
+  SELECT s.stream, s.doc_id, s.n_lines, s.cur_len, s.items
+  FROM sim s JOIN lay3 l USING (doc_id)
+  WHERE s.pending IS NULL AND s.has_cur
+    AND s.i > (CASE WHEN s.stream = 0 THEN len(l.bw) ELSE len(l.tw) END)
 )
 """
 
@@ -251,7 +295,7 @@ _O_READING_ORDER = _O_WRAP_PREFIX + """,
 fin AS (
   SELECT s.doc_id, s.n_lines + CASE WHEN s.has_cur THEN 1 ELSE 0 END AS tl
   FROM sim s JOIN lay3 l USING (doc_id)
-  WHERE s.pending IS NULL AND s.i > len(l.bw)),
+  WHERE s.stream = 0 AND s.pending IS NULL AND s.i > len(l.bw)),
 nmain AS (
   SELECT l.doc_id, l.url, 1 + COALESCE((f.tl + 4) // 5, 0) AS nm
   FROM lay3 l LEFT JOIN fin f USING (doc_id))
@@ -260,15 +304,15 @@ FROM nmain, range(0, 10000) r(g) WHERE g < nm
 """
 
 _O_SPANS = _O_WRAP_PREFIX + """,
-tw AS (
+twords AS (
   SELECT doc_id, 1 AS block_id, strlen(ws[CAST(g AS INT)]) AS wl
   FROM lay3, range(1, 10000) r(g) WHERE g <= title_n AND g <= nw),
 bwords AS (
   SELECT s.doc_id, CAST(2 + s.attr_line // 5 AS INT) AS block_id,
          strlen(l.bw[s.word_idx]) AS wl
   FROM sim s JOIN lay3 l USING (doc_id)
-  WHERE s.word_idx IS NOT NULL),
-allw AS (SELECT * FROM tw UNION ALL SELECT * FROM bwords),
+  WHERE s.stream = 0 AND s.word_idx IS NOT NULL),
+allw AS (SELECT * FROM twords UNION ALL SELECT * FROM bwords),
 blocks AS (
   SELECT doc_id, block_id, SUM(wl + 1) AS blen
   FROM allw GROUP BY doc_id, block_id),
@@ -280,6 +324,99 @@ SELECT l.url, c.block_id,
        CAST(c.cend - b.blen AS BIGINT) AS start,
        CAST(c.cend - 1 AS BIGINT) AS "end"
 FROM cum c JOIN blocks b USING (doc_id, block_id) JOIN lay3 l USING (doc_id)
+"""
+
+# Full blocks-table oracle: every block row (nav, title, body, column-rule
+# delimiters, footer) rebuilt from pure layout arithmetic + the wrap sim —
+# geometry, word/line counts, link density and mean word height included.
+_O_BLOCKS = _O_WRAP_PREFIX + f"""
+, tblk AS (
+  SELECT l.doc_id, COUNT(*) AS nl, SUM(ln.items) AS nw,
+         MAX((ln.chars - ln.items + 1) * l.tcw + (ln.items - 1) * l.cw) AS maxw
+  FROM lines ln JOIN lay3 l USING (doc_id) WHERE ln.stream = 1
+  GROUP BY l.doc_id),
+tgeo AS (
+  SELECT l.doc_id,
+         60 + (t.nl - 1) * (l.tsize + l.tsize // 2) + l.tsize AS t_bottom,
+         t.nl AS t_nl, t.nw AS t_nw, t.maxw AS t_maxw
+  FROM lay3 l JOIN tblk t USING (doc_id)),
+ybody AS (
+  SELECT doc_id, t_bottom + 40 AS y_body FROM tgeo),
+bagg AS (
+  SELECT doc_id, line_idx // 5 AS j, COUNT(*) AS nl,
+         SUM(items) AS nw, MAX(chars) AS maxc
+  FROM lines WHERE stream = 0 GROUP BY 1, 2),
+bcnt AS (SELECT doc_id, COUNT(*) AS nb FROM bagg GROUP BY doc_id),
+bgeo AS (
+  SELECT g.doc_id, g.j, g.nl, g.nw, g.maxc,
+         CAST(g.j // ((c.nb + l.n_cols - 1) // l.n_cols) AS INT) AS col,
+         (g.nl - 1) * (l.s + l.s // 2) + l.s AS h
+  FROM bagg g JOIN bcnt c USING (doc_id) JOIN lay3 l USING (doc_id)),
+bpos AS (
+  SELECT b.doc_id, b.j, b.nl, b.nw, b.maxc, b.col, b.h,
+         y.y_body
+           + COALESCE(SUM(b.h + l.s) OVER (PARTITION BY b.doc_id, b.col ORDER BY b.j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS top,
+         40 + b.col * (l.col_w + 20) AS x0
+  FROM bgeo b JOIN ybody y USING (doc_id) JOIN lay3 l USING (doc_id)),
+bbottom AS (
+  SELECT doc_id, MAX(top + h) AS body_bottom FROM bpos GROUP BY doc_id),
+bot AS (
+  SELECT l.doc_id, COALESCE(bb.body_bottom, y.y_body - 40 + 0) AS body_bottom,
+         y.y_body
+  FROM lay3 l JOIN ybody y USING (doc_id)
+  LEFT JOIN bbottom bb USING (doc_id)),
+navlen AS (
+  SELECT doc_id,
+         ({_NAV_LEN_SQL})[CAST(doc_id % 10 AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 1) % 10 AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 2) % 10 AS INT) + 1] AS nav_chars,
+         ({_NAV_LEN_SQL})[CAST((doc_id + 5) % 10 AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 6) % 10 AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 7) % 10 AS INT) + 1] AS foot_chars
+  FROM lay3),
+out AS (
+  -- nav block (id 0)
+  SELECT l.url, 0 AS block_id, 'text' AS type,
+         40 AS "left", 40 + (n.nav_chars + 2) * 9 AS "right",
+         10 AS top, 24 AS bottom, 3 AS n_words, 1 AS n_lines,
+         1.0 AS link_density, 14.0 AS mean_word_height, l.doc_id
+  FROM lay3 l JOIN navlen n USING (doc_id)
+  UNION ALL
+  -- title block (id 1)
+  SELECT l.url, 1, 'title', 40, 40 + t.t_maxw,
+         60, CAST(t.t_bottom AS INT), CAST(t.t_nw AS INT), CAST(t.t_nl AS INT),
+         0.0, CAST(l.tsize AS DOUBLE), l.doc_id
+  FROM lay3 l JOIN tgeo t USING (doc_id)
+  UNION ALL
+  -- body blocks (ids 2..)
+  SELECT l.url, CAST(2 + b.j AS INT), 'text',
+         CAST(b.x0 AS INT), CAST(b.x0 + b.maxc * l.cw AS INT),
+         CAST(b.top AS INT), CAST(b.top + b.h AS INT),
+         CAST(b.nw AS INT), CAST(b.nl AS INT), 0.0, CAST(l.s AS DOUBLE), l.doc_id
+  FROM bpos b JOIN lay3 l USING (doc_id)
+  UNION ALL
+  -- column-rule delimiters
+  SELECT l.url, CAST(2 + c.nb + ci AS INT), 'delimiter',
+         CAST(40 + (ci + 1) * (l.col_w + 20) - 10 - 1 AS INT),
+         CAST(40 + (ci + 1) * (l.col_w + 20) - 10 + 1 AS INT),
+         CAST(b.y_body AS INT), CAST(b.body_bottom AS INT),
+         0, 0, 0.0, 0.0, l.doc_id
+  FROM lay3 l JOIN bcnt c USING (doc_id) JOIN bot b USING (doc_id),
+       range(0, 10) r(ci)
+  WHERE ci < l.n_cols - 1
+  UNION ALL
+  -- footer block (last id)
+  SELECT l.url, CAST(2 + COALESCE(c.nb, 0)
+                     + CASE WHEN c.nb IS NOT NULL THEN l.n_cols - 1 ELSE 0 END AS INT),
+         'text', 40, 40 + (n.foot_chars + 2) * 9,
+         CAST(b.body_bottom + 60 AS INT), CAST(b.body_bottom + 60 + 14 AS INT),
+         3, 1, 1.0, 14.0, l.doc_id
+  FROM lay3 l JOIN navlen n USING (doc_id) JOIN bot b USING (doc_id)
+  LEFT JOIN bcnt c USING (doc_id))
+SELECT url, block_id, type, "left", "right", top, bottom, n_words, n_lines,
+       link_density, mean_word_height
+FROM out
 """
 
 
@@ -315,5 +452,6 @@ ORACLES = {
     "extract_stats": _O_STATS,
     "extract_reading_order": _O_READING_ORDER,
     "extract_spans": _O_SPANS,
+    "extract_blocks": _O_BLOCKS,
     "extract_boilerplate_stats": _O_BOILER,
 }

@@ -53,9 +53,8 @@ def test_every_query_has_callable_and_oracle_keys_align(entry_mod):
     orc = entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(orc) <= set(qs)
-    # only the raw block-geometry table remains oracle-less (every other
-    # query gained an exact DuckDB oracle in round 2)
-    assert set(qs) - set(orc) == {"extract_blocks"}
+    # round 2 closed the last gap: every query has an exact DuckDB oracle
+    assert set(qs) - set(orc) == set()
 
 
 @pytest.mark.parametrize("name", SUBSET)
