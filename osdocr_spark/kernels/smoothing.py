@@ -169,7 +169,16 @@ def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
     if n <= d:
         return y.copy()
     if n <= _DENSE_MAX_N:
-        return _dense_inverse(n, float(lmbda), d) @ y
+        inv = _dense_inverse(n, float(lmbda), d)
+        # layout histograms are spike-sparse (a handful of margins/sizes in
+        # a page-width axis): summing only the nonzero columns turns the
+        # O(n²) matvec into O(n·k).  BLAS pairwise-summation order differs
+        # from the full matvec only at ulp level; the A/B suite (byte
+        # parity + size-class oracles) pins that this never flips a peak.
+        nz = np.nonzero(y)[0]
+        if len(nz) * 8 < n:
+            return inv[:, nz] @ y[nz]
+        return inv @ y
     lband = np.array(_cholesky_band(n, float(lmbda), d), dtype=np.float64)
     # Solve L w = y (forward), then Lᵀ z = w (backward).
     w = np.empty(n, dtype=np.float64)
