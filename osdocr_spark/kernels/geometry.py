@@ -101,6 +101,21 @@ def intersect_area_box(a: np.ndarray, b: np.ndarray,
     """
     a = np.asarray(a)
     b = np.asarray(b)
+    if a.ndim == 1 and b.ndim == 1:  # scalar fast path (hot in ordering/fix)
+        al, ar, at, ab = (int(a[L]), int(a[R]), int(a[T]), int(a[B]))
+        bl, br, bt, bb = (int(b[L]), int(b[R]), int(b[T]), int(b[B]))
+        if extend_vertical:
+            at = min(at, bt)
+            ab = max(ab, bb)
+        if extend_horizontal:
+            al = min(al, bl)
+            ar = max(ar, br)
+        out = np.empty(4, dtype=np.int64)
+        out[L] = max(al, bl)
+        out[R] = min(ar, br)
+        out[T] = max(at, bt)
+        out[B] = min(ab, bb)
+        return out
     aa = a.astype(np.int64, copy=True)
     if extend_vertical:
         aa = aa.copy()
