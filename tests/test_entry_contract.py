@@ -20,9 +20,11 @@ SF = "/root/testdata/sf0.001"
 # driver's own gate; the full sweep was green at sf0.01 — see BENCH notes)
 SUBSET = [
     "extract_text", "extract_stats", "extract_boilerplate_stats",
+    "extract_blocks", "extract_spans",
     "q_agg_pricing", "q_join_topk", "q_anti_join", "q_window_lag",
-    "q_set_ops", "d_minhash", "d_simhash", "s_ann_bruteforce", "s_ann_ivf",
-    "t_quality", "m_frame_sample",
+    "q_set_ops", "q_hll_distinct", "d_minhash", "d_simhash",
+    "d_winnow_pairs", "s_ann_bruteforce", "s_ann_ivf", "s_ann_pq",
+    "t_quality", "m_frame_sample", "v_jaro_winkler",
 ]
 
 
