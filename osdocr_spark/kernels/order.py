@@ -124,50 +124,128 @@ class DGraph:
                     alive.discard((s, t))
 
 
+# ---------------------------------------------------------------------------
+# Scalar geometry over plain-int (L, R, T, B) tuples — semantically identical
+# to the kernels in geometry.py but without per-call numpy scalar overhead;
+# the ordering path runs tens of thousands of these on ≤15-block documents,
+# where tuple arithmetic is ~10× cheaper than numpy row indexing.
+# A/B-verified value-identical against the numpy path on the full corpus.
+
+def _sc_inside(a, b) -> bool:
+    return a[0] >= b[0] and a[1] <= b[1] and a[2] >= b[2] and a[3] <= b[3]
+
+
+def _sc_intersects(a, b, ev: bool = False, eh: bool = False) -> bool:
+    siv = ev or ((a[2] <= b[2] and a[3] >= b[2]) or (b[2] <= a[2] and b[3] >= a[2]))
+    sih = eh or (a[0] <= b[1] and a[1] >= b[0])
+    return siv and sih
+
+
+def _sc_within_v(a, b, rng: float = 0.0, only_self: bool = False) -> bool:
+    ha = (a[3] - a[2]) * rng
+    if a[2] - ha <= b[2] and a[3] + ha >= b[3]:
+        return True
+    if only_self:
+        return False
+    hb = (b[3] - b[2]) * rng
+    return b[2] - hb <= a[2] and b[3] + hb >= a[3]
+
+
+def _sc_within_h(a, b, rng: float = 0.0, only_self: bool = False) -> bool:
+    wa = (a[1] - a[0]) * rng
+    if a[0] - wa <= b[0] and a[1] + wa >= b[1]:
+        return True
+    if only_self:
+        return False
+    wb = (b[1] - b[0]) * rng
+    return b[0] - wb <= a[0] and b[1] + wb >= a[1]
+
+
+def _sc_inter_area(a, b, ev: bool = False, eh: bool = False) -> int:
+    """``int(area(intersect_area_box(a, b, ...)))`` — may be negative for
+    disjoint boxes, exactly like the numpy-path callers test."""
+    al, ar, at, ab = a
+    if ev:
+        at = min(at, b[2])
+        ab = max(ab, b[3])
+    if eh:
+        al = min(al, b[0])
+        ar = max(ar, b[1])
+    return (min(ar, b[1]) - max(al, b[0])) * (min(ab, b[3]) - max(at, b[2]))
+
+
+def _sc_distance(a, b, border: str) -> float:
+    """Border-midpoint distance (a's ``border`` ↔ b's opposite border),
+    mirroring ``geometry.distance_to``'s scalar path."""
+    if border == "left":
+        xa, ya = a[0], (a[2] + a[3]) / 2.0
+        xb, yb = b[1], (b[2] + b[3]) / 2.0
+    elif border == "right":
+        xa, ya = a[1], (a[2] + a[3]) / 2.0
+        xb, yb = b[0], (b[2] + b[3]) / 2.0
+    elif border == "top":
+        xa, ya = (a[0] + a[1]) / 2.0, a[2]
+        xb, yb = (b[0] + b[1]) / 2.0, b[3]
+    else:
+        xa, ya = (a[0] + a[1]) / 2.0, a[3]
+        xb, yb = (b[0] + b[1]) / 2.0, b[2]
+    return math.hypot(xa - xb, ya - yb)
+
+
+def _first_min(items: list[int], key) -> int:
+    best = items[0]
+    bk = key(best)
+    for it in items[1:]:
+        k = key(it)
+        if k < bk:
+            best, bk = it, k
+    return best
+
+
+def _tuple_boxes(bb: np.ndarray, idxs) -> dict[int, tuple[int, int, int, int]]:
+    return {int(c): (int(bb[c, 0]), int(bb[c, 1]), int(bb[c, 2]), int(bb[c, 3]))
+            for c in idxs}
+
+
 def next_top_block(doc: Document, cand: list[int], origin: tuple[float, float] = (0.0, 0.0)) -> int | None:
     """Choose the visually-first block (``next_top_block``,
     ``ocr_tree_analyser.py:649-726``): top-band → leftmost-band → top, vs
     left-band → top; tie-break by euclidean distance to ``origin``
-    (left-candidate wins only when strictly closer)."""
+    (left-candidate wins only when strictly closer).  Scalar loops over
+    tuple boxes; candidate order (top_blocks first, then ``cand`` order)
+    preserved so first-minimum tie-breaks match the reference's stable
+    sorts."""
     if not cand:
         return None
-    bb = doc.b_box
-    arr = np.array(cand, dtype=np.int64)
+    tb = _tuple_boxes(doc.b_box, cand)
+    cand = [int(c) for c in cand]
 
-    # --- top route (pair loops vectorized; candidate order — top_blocks
-    # first, then arr order — preserved so first-minimum tie-breaks match
-    # the reference's stable sorts)
-    tops = bb[arr, g.T]
-    min_top = tops.min()
-    top_blocks = arr[tops == min_top]
-    band = g.within_vertical(bb[arr][:, None, :], bb[top_blocks][None, :, :], rng=0.05).any(axis=1)
-    pot_arr = np.concatenate([top_blocks, arr[band]])
-    lefts = bb[pot_arr, g.L]
-    leftmost = int(pot_arr[int(np.argmin(lefts))])  # stable: first minimum
-    band2 = g.within_horizontal(bb[arr], bb[leftmost][None, :], rng=0.05)
-    potential_top = None
-    if band2.any():
-        p2 = arr[band2]
-        potential_top = int(p2[int(np.argmin(bb[p2, g.T]))])
+    # --- top route
+    min_top = min(tb[c][2] for c in cand)
+    top_blocks = [c for c in cand if tb[c][2] == min_top]
+    band = [c for c in cand
+            if any(_sc_within_v(tb[c], tb[t], rng=0.05) for t in top_blocks)]
+    pot = top_blocks + band
+    leftmost = _first_min(pot, key=lambda c: tb[c][0])
+    band2 = [c for c in cand if _sc_within_h(tb[c], tb[leftmost], rng=0.05)]
+    potential_top = _first_min(band2, key=lambda c: tb[c][2]) if band2 else None
 
     # --- left route
-    min_left = bb[arr, g.L].min()
-    leftmost_blocks = arr[bb[arr, g.L] == min_left]
-    band3 = g.within_horizontal(bb[arr][:, None, :], bb[leftmost_blocks][None, :, :], rng=0.05).any(axis=1)
-    potential_left = None
-    if band3.any():
-        p3 = arr[band3]
-        potential_left = int(p3[int(np.argmin(bb[p3, g.T]))])
+    min_left = min(tb[c][0] for c in cand)
+    leftmost_blocks = [c for c in cand if tb[c][0] == min_left]
+    band3 = [c for c in cand
+             if any(_sc_within_h(tb[c], tb[t], rng=0.05) for t in leftmost_blocks)]
+    potential_left = _first_min(band3, key=lambda c: tb[c][2]) if band3 else None
 
     if potential_left is not None and potential_top is not None:
-        dl = math.hypot(origin[0] - bb[potential_left, g.L], origin[1] - bb[potential_left, g.T])
-        dt = math.hypot(origin[0] - bb[potential_top, g.L], origin[1] - bb[potential_top, g.T])
+        dl = math.hypot(origin[0] - tb[potential_left][0], origin[1] - tb[potential_left][2])
+        dt = math.hypot(origin[0] - tb[potential_top][0], origin[1] - tb[potential_top][2])
         return potential_left if dl < dt else potential_top
     if potential_left is not None:
         return potential_left
     if potential_top is not None:
         return potential_top
-    return int(arr[int(np.argmin(bb[arr, g.T]))])
+    return _first_min(cand, key=lambda c: tb[c][2])
 
 
 def topologic_graph(doc: Document, block_idx: list[int]) -> DGraph | None:
@@ -223,8 +301,17 @@ class _AttractionCache:
     def __init__(self, doc: Document, blocks: list[int]):
         self.doc = doc
         self.barr = np.array(blocks, dtype=np.int64)
+        self.tb = _tuple_boxes(doc.b_box, blocks)
         self._tables: dict | None = None
         self._dist: dict[int, tuple[float, float]] = {}
+
+    def tup(self, i: int) -> tuple[int, int, int, int]:
+        hit = self.tb.get(i)
+        if hit is None:
+            bb = self.doc.b_box
+            hit = (int(bb[i, 0]), int(bb[i, 1]), int(bb[i, 2]), int(bb[i, 3]))
+            self.tb[i] = hit
+        return hit
 
     def neighbors(self, kind: str, i: int) -> list[int]:
         if self._tables is None:
@@ -259,25 +346,29 @@ def calculate_block_attraction(doc: Document, block: int, target: int,
     crossing penalty/bonus (±30·overlap ratio), normalized proximity
     (+20·(1−d)), strip-overlap ratio (+20·ratio), below-target (+20),
     no-below bonuses (+40/+20), encompassing below/above (+20, shared
-    parent/child +20), and the type rules for title/image/text blocks."""
-    bb = doc.b_box
+    parent/child +20), and the type rules for title/image/text blocks.
+
+    Scalar tuple-box arithmetic throughout (see the ``_sc_*`` helpers) —
+    value-identical to the numpy formulation, A/B-verified edge-for-edge on
+    the full corpus."""
     if cache is None:
         cache = _AttractionCache(doc, blocks)
-    barr = cache.barr
+    tblock = cache.tup(block)
+    ttarget = cache.tup(target)
     max_d, min_d = cache.dist_range(block)
 
     attraction = 0
 
     if direction is None:
-        if g.intersects(bb[block], bb[target], extend_vertical=True):
-            direction = "above" if bb[block, g.T] > bb[target, g.T] else "below"
-        elif g.intersects(bb[block], bb[target], extend_horizontal=True):
-            direction = "right" if bb[block, g.L] < bb[target, g.L] else "left"
-        elif g.is_inside(bb[target], bb[block]):
+        if _sc_intersects(tblock, ttarget, ev=True):
+            direction = "above" if tblock[2] > ttarget[2] else "below"
+        elif _sc_intersects(tblock, ttarget, eh=True):
+            direction = "right" if tblock[0] < ttarget[0] else "left"
+        elif _sc_inside(ttarget, tblock):
             direction = "below"
-        elif g.is_inside(bb[block], bb[target]):
+        elif _sc_inside(tblock, ttarget):
             direction = "above"
-        elif bb[target, g.T] < bb[block, g.T]:
+        elif ttarget[2] < tblock[2]:
             direction = "above"
         else:
             direction = "below"
@@ -291,21 +382,20 @@ def calculate_block_attraction(doc: Document, block: int, target: int,
     attraction += 20
 
     border = {"above": "top", "below": "bottom", "left": "left", "right": "right"}[direction]
-    distance = float(g.distance_to(bb[block], bb[target], border=border))
+    distance = _sc_distance(tblock, ttarget, border)
     rng = max_d - min_d
     distance = abs((distance - min_d) / rng) if rng > 0 else 0.0
 
-    block_area = int(g.area(bb[block]))
+    block_area = (tblock[1] - tblock[0]) * (tblock[3] - tblock[2])
     if below_blocks:
-        ba = np.array(below_blocks)
-        leftmost = int(ba[int(np.argmin(bb[ba, g.L]))])
+        leftmost = _first_min(below_blocks, key=lambda b: cache.tup(b)[0])
         if leftmost == target:
             attraction += 10
         below_delims = [b for b in below_blocks if doc.b_type[b] == "delimiter"]
         if below_delims and block_area > 0:
-            widest = max(below_delims, key=lambda b: int(g.width(bb[b])))
-            inter = g.intersect_area_box(bb[widest], bb[block], extend_vertical=True)
-            inter_area = int(g.area(inter))
+            widest = max(below_delims,
+                         key=lambda b: cache.tup(b)[1] - cache.tup(b)[0])
+            inter_area = _sc_inter_area(cache.tup(widest), tblock, ev=True)
             if direction == "below" and inter_area > 0:
                 attraction -= (inter_area / block_area) * 30
             elif direction != "below" and inter_area > 0:
@@ -314,9 +404,9 @@ def calculate_block_attraction(doc: Document, block: int, target: int,
     if right_blocks:
         right_delims = [b for b in right_blocks if doc.b_type[b] == "delimiter"]
         if right_delims and block_area > 0:
-            tallest = max(right_delims, key=lambda b: int(g.height(bb[b])))
-            inter = g.intersect_area_box(bb[tallest], bb[block], extend_horizontal=True)
-            inter_area = int(g.area(inter))
+            tallest = max(right_delims,
+                          key=lambda b: cache.tup(b)[3] - cache.tup(b)[2])
+            inter_area = _sc_inter_area(cache.tup(tallest), tblock, eh=True)
             if direction == "right" and inter_area > 0:
                 attraction -= (inter_area / block_area) * 30
             elif direction != "right" and inter_area > 0:
@@ -326,13 +416,11 @@ def calculate_block_attraction(doc: Document, block: int, target: int,
         attraction += round(20 * (1 - distance))
 
     # strip overlap ratio (``:1634-1650``)
-    if direction in ("above", "below"):
-        inter = g.intersect_area_box(bb[target], bb[block], extend_vertical=True)
-    else:
-        inter = g.intersect_area_box(bb[target], bb[block], extend_horizontal=True)
-    target_area = int(g.area(bb[target]))
+    inter_area = _sc_inter_area(ttarget, tblock,
+                                ev=direction in ("above", "below"),
+                                eh=direction not in ("above", "below"))
+    target_area = (ttarget[1] - ttarget[0]) * (ttarget[3] - ttarget[2])
     if target_area > 0:
-        inter_area = int(g.area(inter))
         ratio = 1.0 if inter_area >= target_area else inter_area / target_area
         attraction += round(20 * ratio)
 
@@ -348,9 +436,10 @@ def calculate_block_attraction(doc: Document, block: int, target: int,
     if direction in ("below", "right"):
         if below_blocks:
             for bbk in below_blocks:
+                tk = cache.tup(bbk)
                 if bbk != target and \
-                        g.within_horizontal(bb[bbk], bb[block], rng=0.3, only_self=True) and \
-                        g.within_horizontal(bb[bbk], bb[target], rng=0.3, only_self=True):
+                        _sc_within_h(tk, tblock, rng=0.3, only_self=True) and \
+                        _sc_within_h(tk, ttarget, rng=0.3, only_self=True):
                     attraction += 20
                     above_enc = cache.neighbors("above", bbk)
                     if above_enc and len([b for b in above_enc if b in (block, target)]) == 2:
@@ -358,9 +447,10 @@ def calculate_block_attraction(doc: Document, block: int, target: int,
                     break
         if top_blocks:
             for tbk in top_blocks:
+                tk = cache.tup(tbk)
                 if tbk != target and \
-                        g.within_horizontal(bb[tbk], bb[block], rng=0.3, only_self=True) and \
-                        g.within_horizontal(bb[tbk], bb[target], rng=0.3, only_self=True):
+                        _sc_within_h(tk, tblock, rng=0.3, only_self=True) and \
+                        _sc_within_h(tk, ttarget, rng=0.3, only_self=True):
                     attraction += 20
                     below_enc = cache.neighbors("below", tbk)
                     if below_enc and len([b for b in below_enc if b in (block, target)]) == 2:
