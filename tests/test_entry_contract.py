@@ -111,6 +111,24 @@ def test_plan_topk_is_take_ordered(spark):
             f"{q.__name__} lost TakeOrderedAndProject:\n{plan[:2000]}"
 
 
+def test_plan_no_cartesian_in_pair_generators(spark):
+    """Scale hygiene: every pair-generating operator must route through a
+    bucket/candidate key — an all-pairs cartesian or nested-loop join is the
+    O(n²) shape that dies at corpus scale (round-1 verdict items 4-7)."""
+    from osdocr_spark.ops.dedup import (d_embedding_neardup, d_jaccard_sample,
+                                        d_winnow_pairs)
+    from osdocr_spark.ops.simsearch import s_ann_pq
+    from osdocr_spark.ops.validation import v_tfidf_pairs
+
+    for q in (d_embedding_neardup, d_jaccard_sample, d_winnow_pairs,
+              v_tfidf_pairs, s_ann_pq):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q.__name__
+        if q is not s_ann_pq and q is not v_tfidf_pairs:
+            # (the PQ/tf-idf broadcast probes are bounded by construction)
+            assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
 def test_salted_partitions_balanced(spark):
     """Scale hygiene: the domain key is Zipf-skewed by construction
     (URL_DOMAINS buckets), but after the salted repartition no partition
