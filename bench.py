@@ -161,7 +161,7 @@ def _cpu_canary() -> dict:
             "parity": round(rates[32] / rates[1], 3)}
 
 
-def scaling(sf_dir: str = SF_DIR, replicate: int = 8, reps: int = 3) -> dict:
+def scaling(sf_dir: str = SF_DIR, replicate: int = 16, reps: int = 4) -> dict:
     """Same job at N and 4N parallelism levels → scaling efficiency.
 
     Measures the scan-fused extraction (one Python stage — the production
@@ -203,7 +203,7 @@ def scaling(sf_dir: str = SF_DIR, replicate: int = 8, reps: int = 3) -> dict:
 The north rule's two-cluster-size criterion (throughput scaling efficiency
 ≥0.8 from N to 4N executors) cannot use a real cluster here; per the driver
 instruction it is evidenced by the identical job at two parallelism levels
-on the same input (8× replicated sf0.1 corpus, scan-fused extraction stage,
+on the same input ({replicate}× replicated sf0.1 corpus, scan-fused extraction stage,
 warmed workers).
 
 **Measurement discipline.** This shared VM shows ±20% wall-clock drift
