@@ -303,18 +303,11 @@ def _arr_sql(vec: list[float]) -> str:
     return "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in vec) + ")"
 
 
-def s_ann_pq(spark, sf_dir):
-    """Product-quantized ANN (Jégou et al., TPAMI'11 shape): every vector is
-    encoded as 8 sub-codes (nearest of 16 literal sub-centroids per 8-d
-    subspace — a NARROW map, no shuffle/join, the pattern that matters at
-    10^12 rows), queries scan candidates against the *reconstructed*
-    vectors (ADC): cos(q, concat(codebook[m][code_m])) — the index is 8
-    bytes/vector instead of 256.  Exact top-3 within the approximation;
-    sub-distances rounded 4dp before the argmin with smallest-centroid
-    tie-break so both engines pick identical codes."""
-    cb = _pq_codebook(spark, sf_dir)
-    e = _emb(spark, sf_dir)
-    # per-subspace code: lexicographic min of (rounded sq-distance, c)
+def _pq_recon_col(cb):
+    """Column: the PQ reconstruction of ``embedding`` — per-subspace code =
+    lexicographic min of (rounded sq-distance, c) over the literal
+    sub-centroids (a narrow map), reconstruction = concat of the chosen
+    sub-centroids."""
     recon_parts = []
     for m in range(M_PQ):
         structs = []
@@ -328,8 +321,21 @@ def s_ann_pq(spark, sf_dir):
         code = F.array_min(F.array(*structs))["c"]
         cents_m = "array(" + ",".join(_arr_sql(cb[m][c]) for c in range(K_PQ)) + ")"
         recon_parts.append(F.element_at(F.expr(cents_m), code + 1))
-    coded = e.select("vec_id", "embedding",
-                     F.flatten(F.array(*recon_parts)).alias("recon"))
+    return F.flatten(F.array(*recon_parts))
+
+
+def s_ann_pq(spark, sf_dir):
+    """Product-quantized ANN (Jégou et al., TPAMI'11 shape): every vector is
+    encoded as 8 sub-codes (nearest of 16 literal sub-centroids per 8-d
+    subspace — a NARROW map, no shuffle/join, the pattern that matters at
+    10^12 rows), queries scan candidates against the *reconstructed*
+    vectors (ADC): cos(q, concat(codebook[m][code_m])) — the index is 8
+    bytes/vector instead of 256.  Exact top-3 within the approximation;
+    sub-distances rounded 4dp before the argmin with smallest-centroid
+    tie-break so both engines pick identical codes."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    coded = e.select("vec_id", "embedding", _pq_recon_col(cb).alias("recon"))
     q = (coded.where(F.col("vec_id") % 50 == 0)
          .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("a")))
     c_ = coded.select(F.col("vec_id").alias("c_id"), F.col("recon").alias("b"))
@@ -385,12 +391,114 @@ WHERE rn <= {PQ_TOPK}
 """
 
 
+def s_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN — the production index shape (FAISS IVFPQ):
+    coarse quantizer restricts the scan to the query's top-2 of 16 IVF
+    lists (narrow literal-centroid assignment, broadcast probe), PQ codes
+    stand in for the vectors inside each list (ADC against 8-byte
+    reconstructions).  Both stages are the already-oracled building blocks
+    (``s_ann_ivf``, ``s_ann_pq``); the compose touches ~NPROBE/K of the
+    corpus and never moves a raw candidate vector."""
+    e = _emb(spark, sf_dir)
+    scores = _centroid_scores(_ivf_centroids(spark, sf_dir))
+    ranked = F.reverse(F.array_sort(scores))
+    cb = _pq_codebook(spark, sf_dir)
+    coded = e.select(
+        "vec_id", "embedding",
+        (-F.element_at(ranked, 1)["negc"]).cast("int").alias("cent"),
+        _pq_recon_col(cb).alias("recon"))
+    cand = coded.select(F.col("vec_id").alias("c_id"),
+                        F.col("recon").alias("b"), "cent")
+    probes = (coded.where(F.col("vec_id") % 50 == 0)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("a"),
+                      F.explode(F.slice(ranked, 1, NPROBE)).alias("p"))
+              .select("q_id", "a", (-F.col("p")["negc"]).cast("int").alias("cent")))
+    j = cand.join(F.broadcast(probes), "cent").where(F.col("q_id") != F.col("c_id"))
+    scored = _with_cos(j)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= IVF_TOPK)
+            .select("q_id", "c_id", "cos", "rn"))
+
+
+_O_ANN_IVFPQ = f"""
+WITH cents AS (
+  SELECT CAST(vec_id // {CENT_STRIDE} AS INT) AS cent, embedding AS ce
+  FROM embeddings
+  WHERE vec_id % {CENT_STRIDE} = 0 AND vec_id < {CENT_STRIDE * K_IVF}),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM embeddings, range(1, {DIM + 1}) r(i) GROUP BY vec_id),
+cnorms AS (
+  SELECT cent, SUM(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cnrm
+  FROM cents, range(1, {DIM + 1}) r(i) GROUP BY cent),
+vc AS (
+  SELECT e.vec_id, c.cent,
+         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)) AS dot
+  FROM embeddings e, cents c, range(1, {DIM + 1}) r(i)
+  GROUP BY e.vec_id, c.cent),
+scoredc AS (
+  SELECT vec_id, cent, ROUND(dot / (SQRT(n.nrm) * SQRT(cn.cnrm)), 4) AS ccos
+  FROM vc JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent)),
+assign AS (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent ASC) AS rn
+    FROM scoredc) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, cent FROM (
+    SELECT vec_id, cent,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent ASC) AS rn
+    FROM scoredc WHERE vec_id % 50 = 0) WHERE rn <= {NPROBE}),
+cb AS (
+  SELECT CAST(vec_id // {PQ_STRIDE} AS INT) AS c, embedding AS ce
+  FROM embeddings
+  WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * K_PQ}),
+subdist AS (
+  SELECT e.vec_id, m.m, cb.c,
+         ROUND(SUM((CAST(e.embedding[m.m * {DSUB} + i] AS DOUBLE)
+                    - CAST(cb.ce[m.m * {DSUB} + i] AS DOUBLE))
+                   * (CAST(e.embedding[m.m * {DSUB} + i] AS DOUBLE)
+                      - CAST(cb.ce[m.m * {DSUB} + i] AS DOUBLE))), 4) AS d
+  FROM embeddings e, range(0, {M_PQ}) m(m), cb, range(1, {DSUB + 1}) r(i)
+  GROUP BY e.vec_id, m.m, cb.c),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+    FROM subdist) WHERE rn = 1),
+recon AS (
+  SELECT k.vec_id, k.m, i AS sub_i,
+         CAST(cb.ce[k.m * {DSUB} + i] AS DOUBLE) AS rv
+  FROM codes k JOIN cb USING (c), range(1, {DSUB + 1}) r(i)),
+rnorm AS (
+  SELECT vec_id, SUM(rv * rv) AS nrm FROM recon GROUP BY vec_id),
+dots AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         SUM(CAST(qe.embedding[rec.m * {DSUB} + rec.sub_i] AS DOUBLE) * rec.rv) AS dot
+  FROM probes p
+  JOIN embeddings qe ON p.q_id = qe.vec_id
+  JOIN assign a ON a.cent = p.cent AND a.vec_id <> p.q_id
+  JOIN recon rec ON rec.vec_id = a.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (SQRT(nq.nrm) * SQRT(rn.nrm)), 4) AS cos
+  FROM dots JOIN norms nq ON q_id = nq.vec_id JOIN rnorm rn ON c_id = rn.vec_id)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rn
+  FROM scored)
+WHERE rn <= {IVF_TOPK}
+"""
+
+
 QUERIES = {
     "s_ann_bruteforce": s_ann_bruteforce,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh": s_ann_lsh,
     "s_ann_ivf": s_ann_ivf,
     "s_ann_pq": s_ann_pq,
+    "s_ann_ivfpq": s_ann_ivfpq,
 }
 
 ORACLES = {
@@ -399,4 +507,5 @@ ORACLES = {
     "s_ann_lsh": _O_ANN_LSH,
     "s_ann_ivf": _O_ANN_IVF,
     "s_ann_pq": _O_ANN_PQ,
+    "s_ann_ivfpq": _O_ANN_IVFPQ,
 }

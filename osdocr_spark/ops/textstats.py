@@ -149,6 +149,41 @@ FROM documents
 """
 
 
+def t_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (nats, 4dp) — the
+    classic cheap gibberish/repetition filter a training-data pipeline runs
+    before expensive quality models: natural text sits in a narrow entropy
+    band; mojibake and boilerplate repeats fall outside it.
+
+    Plan shape: one explode + two doc_id-keyed aggregations (partial+final);
+    the docs table is already partitioned by doc_id so the groupBys reuse
+    the partitioning."""
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+        )).alias("c"))
+    cnt = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    return (cnt.groupBy("doc_id")
+            .agg(F.sum("n").alias("n_chars"),
+                 F.round(-F.sum(F.col("n") * F.log(F.col("n")))
+                         / F.sum("n") + F.log(F.sum("n")), 4).alias("entropy")))
+
+
+# H = ln N - (Σ n·ln n)/N — one pass, no per-class p division
+_O_ENTROPY = """
+WITH cnt AS (
+  SELECT doc_id, c, COUNT(*) AS n
+  FROM (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+        FROM documents, range(1, 100000) r(i) WHERE i <= strlen(text))
+  GROUP BY doc_id, c)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+       ROUND(-SUM(n * LN(n)) / SUM(n) + LN(SUM(n)), 4) AS entropy
+FROM cnt GROUP BY doc_id
+"""
+
+
 def m_media_meta(spark, sf_dir):
     """Multimodal-column stub: documents' utf-8 bytes as an opaque binary
     payload; a deterministic fake "decode" derives typed metadata.  The real
@@ -307,6 +342,7 @@ QUERIES = {
     "t_fingerprint": t_fingerprint,
     "t_clean_text": t_clean_text,
     "t_bigram_lm": t_bigram_lm,
+    "t_char_entropy": t_char_entropy,
     "t_stratified_sample": t_stratified_sample,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
@@ -314,6 +350,7 @@ QUERIES = {
 
 ORACLES = {
     "t_bigram_lm": _O_BIGRAM_LM,
+    "t_char_entropy": _O_ENTROPY,
     "t_stratified_sample": _O_STRATIFIED,
     "m_frame_sample": _O_FRAMES,
     "t_token_count": _O_TOKENS,
