@@ -30,6 +30,55 @@ def test_intersects_matches_scalar(a, b):
     assert bool(g.intersects(a, b)) == _scalar_intersects(a, b)
 
 
+box_sets = st.lists(boxes, min_size=1, max_size=10)
+
+
+@settings(max_examples=150, deadline=None)
+@given(box_sets)
+def test_neighbor_tables_match_per_call(bxs):
+    """The batched all-pairs neighbor tables must agree with the per-call
+    strip+prune semi-joins on arbitrary box sets (they are A/B-identical on
+    the corpus; this guards the general case)."""
+    from osdocr_spark.kernels import neighbors as nb
+
+    bb = np.stack(bxs)
+    idxs = np.arange(len(bxs), dtype=np.int64)
+    tabs = nb.neighbor_tables(bb, idxs)
+    for kind, fn in (("below", nb.directly_below), ("right", nb.directly_right),
+                     ("above", nb.directly_above)):
+        for i in idxs:
+            ref = [int(x) for x in fn(bb, int(i), idxs[idxs != i])]
+            assert tabs[kind][int(i)] == ref, (kind, int(i), bb.tolist())
+
+
+@settings(max_examples=300, deadline=None)
+@given(boxes, boxes)
+def test_scalar_order_helpers_match_geometry(a, b):
+    """order.py's tuple-box scalar helpers must agree with the numpy
+    geometry kernels (they carry the attraction path)."""
+    from osdocr_spark.kernels import order as o
+
+    ta = tuple(int(v) for v in a)
+    tb = tuple(int(v) for v in b)
+    assert o._sc_inside(ta, tb) == bool(g.is_inside(a, b))
+    for ev, eh in ((False, False), (True, False), (False, True)):
+        assert o._sc_intersects(ta, tb, ev, eh) == bool(
+            g.intersects(a, b, extend_vertical=ev, extend_horizontal=eh))
+        got = o._sc_inter_area(ta, tb, ev, eh)
+        want = int(g.area(g.intersect_area_box(
+            a, b, extend_vertical=ev, extend_horizontal=eh)))
+        assert got == want, (ta, tb, ev, eh)
+    for rng in (0.0, 0.05, 0.3):
+        for only_self in (False, True):
+            assert o._sc_within_h(ta, tb, rng, only_self) == bool(
+                g.within_horizontal(a, b, rng=rng, only_self=only_self))
+            assert o._sc_within_v(ta, tb, rng, only_self) == bool(
+                g.within_vertical(a, b, rng=rng, only_self=only_self))
+    for border in ("left", "right", "top", "bottom"):
+        assert o._sc_distance(ta, tb, border) == float(
+            g.distance_to(a, b, border=border))
+
+
 @settings(max_examples=300, deadline=None)
 @given(boxes, boxes)
 def test_inside_implies_intersects(a, b):
