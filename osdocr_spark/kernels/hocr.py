@@ -72,7 +72,7 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
         bm = _BBOX.search(title)
         if not bm:
             continue
-        x0, y0, x1, y1 = (int(v) for v in bm.groups())
+        x0, y0, x1, y1 = map(int, bm.groups())
         level = _LEVEL[cls]
         if level == 1:
             continue

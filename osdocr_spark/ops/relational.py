@@ -555,8 +555,43 @@ GROUP BY lang, word_len
 """
 
 
+def q_cogroup_reconcile(spark, sf_dir):
+    """``cogroup().applyInPandas`` surface (SURVEY §2.12 — the two-sided
+    grouped-Arrow API): reconcile the events stream against the orders
+    table per key, emitting counts and a presence status.  Each key's two
+    groups arrive as separate pandas frames in ONE task — the custom-merge
+    shape (conflict resolution, temporal reconciliation) that a plain join
+    cannot express without exploding intermediate rows."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    od = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def rec(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        ne, no = len(left), len(right)
+        status = "both" if ne and no else ("events_only" if ne else "orders_only")
+        return pd.DataFrame({"k": [key[0]], "n_events": [ne],
+                             "n_orders": [no], "status": [status]})
+
+    return (ev.groupBy("k").cogroup(od.groupBy("k"))
+            .applyInPandas(rec, "k long, n_events long, n_orders long, status string"))
+
+
+_O_COGROUP = """
+WITH e AS (SELECT user_id AS k, COUNT(*) AS ne FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS k, COUNT(*) AS no FROM orders GROUP BY 1)
+SELECT COALESCE(e.k, o.k) AS k,
+       CAST(COALESCE(ne, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(no, 0) AS BIGINT) AS n_orders,
+       CASE WHEN ne IS NOT NULL AND no IS NOT NULL THEN 'both'
+            WHEN ne IS NOT NULL THEN 'events_only' ELSE 'orders_only' END AS status
+FROM e FULL OUTER JOIN o ON e.k = o.k
+"""
+
+
 QUERIES = {
     "q_filter_project": q_filter_project,
+    "q_cogroup_reconcile": q_cogroup_reconcile,
     "q_props_extract": q_props_extract,
     "q_grouped_pandas": q_grouped_pandas,
     "q_agg_pricing": q_agg_pricing,
@@ -582,6 +617,7 @@ QUERIES = {
 
 ORACLES = {
     "q_filter_project": _O_FILTER,
+    "q_cogroup_reconcile": _O_COGROUP,
     "q_props_extract": _O_PROPS,
     "q_grouped_pandas": _O_GROUPED,
     "q_agg_pricing": _O_AGG,
