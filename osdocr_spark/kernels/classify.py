@@ -54,7 +54,7 @@ def categorize_blocks(doc: Document, conf: int = 10, override: bool = False,
     avg_char_w = analysis.get("average_character_width", 0.0)
     all_idx = np.arange(doc.n_blocks())
     # one all-pairs pass instead of a per-block strip+prune semi-join call
-    above_tbl = nb.neighbor_tables(doc.b_box, all_idx)["above"]
+    above_tbl = nb.neighbor_tables(doc.b_box, all_idx, kinds=("above",))["above"]
 
     for bi in range(doc.n_blocks()):
         if doc.b_type[bi] is not None and not override:

@@ -94,7 +94,8 @@ def _dominance_prune(bb: np.ndarray, picked: np.ndarray, axis_top: int,
     return picked[~invalid]
 
 
-def neighbor_tables(bb: np.ndarray, idxs: np.ndarray) -> dict:
+def neighbor_tables(bb: np.ndarray, idxs: np.ndarray,
+                    kinds: tuple = ("below", "right", "above")) -> dict:
     """All-pairs ``directly_below``/``directly_right``/``directly_above``
     for one block set in ONE vectorized pass — the ordering path asks for
     every block's neighbors, so n separate strip+prune calls redo the same
@@ -110,10 +111,11 @@ def neighbor_tables(bb: np.ndarray, idxs: np.ndarray) -> dict:
 
     Returns ``{"below"|"right"|"above": {i: [j, ...]}}`` with neighbor lists
     in ``idxs`` order (matching the per-call candidate order
-    ``idxs[idxs != i]``).
+    ``idxs[idxs != i]``); ``kinds`` restricts which directions are computed
+    (callers like the classifier only need one).
     """
     k = len(idxs)
-    out: dict[str, dict[int, list[int]]] = {"below": {}, "right": {}, "above": {}}
+    out: dict[str, dict[int, list[int]]] = {kd: {} for kd in kinds}
     if k == 0:
         return out
     bx = bb[idxs]
@@ -127,17 +129,18 @@ def neighbor_tables(bb: np.ndarray, idxs: np.ndarray) -> dict:
     not_inside = ~inside.T  # [i, j]: j not inside i
     eye = np.eye(k, dtype=bool)
 
-    below_hit = (T_[None, :] > T_[:, None]) & not_inside & xov
-    right_hit = (R_[None, :] > R_[:, None]) & not_inside & yov & ~xov
-    above_hit = (B_[None, :] < B_[:, None]) & not_inside & xov
-
-    # dominance anti-joins: invalid[i, j] = ∃k∈hit[i]: pair(j,k) & j later
-    m_below = xov & (T_[:, None] > T_[None, :]) & ~eye
-    m_right = yov & (L_[:, None] > L_[None, :]) & ~eye
-    m_above = xov & (B_[:, None] < B_[None, :]) & ~eye
-    for kind, hit, m in (("below", below_hit, m_below),
-                         ("right", right_hit, m_right),
-                         ("above", above_hit, m_above)):
+    # hit matrices + dominance anti-joins per direction:
+    # invalid[i, j] = ∃k∈hit[i]: pair(j,k) & j later
+    spec = {
+        "below": lambda: ((T_[None, :] > T_[:, None]) & not_inside & xov,
+                          xov & (T_[:, None] > T_[None, :]) & ~eye),
+        "right": lambda: ((R_[None, :] > R_[:, None]) & not_inside & yov & ~xov,
+                          yov & (L_[:, None] > L_[None, :]) & ~eye),
+        "above": lambda: ((B_[None, :] < B_[:, None]) & not_inside & xov,
+                          xov & (B_[:, None] < B_[None, :]) & ~eye),
+    }
+    for kind in kinds:
+        hit, m = spec[kind]()
         direct = hit & ~(hit.astype(np.int8) @ m.T.astype(np.int8) > 0)
         tbl = out[kind]
         for a in range(k):

@@ -269,7 +269,7 @@ def topologic_graph(doc: Document, block_idx: list[int]) -> DGraph | None:
 
     nd_arr = np.array(non_delims, dtype=np.int64)
     # one all-pairs pass replaces the per-node strip+prune semi-join calls
-    tables = nb.neighbor_tables(bb, nd_arr)
+    tables = nb.neighbor_tables(bb, nd_arr, kinds=("right", "below"))
     visited: list[int] = []
     current = first
     while current is not None:
