@@ -44,6 +44,11 @@ _ELEM = re.compile(
 )
 _BBOX = re.compile(r"bbox (-?\d+) (-?\d+) (-?\d+) (-?\d+)")
 _WCONF = re.compile(r"x_wconf (-?\d+)")
+# fast path: hOCR title attrs put x_wconf after bbox (Tesseract order); one
+# search replaces two.  Falls back to the separate searches when the
+# combined shape doesn't match (arbitrary attr order stays supported).
+_TITLE_FAST = re.compile(
+    r"bbox (-?\d+) (-?\d+) (-?\d+) (-?\d+)(?:.*?x_wconf (-?\d+))?")
 _TAG = re.compile(r"<[^>]+>")
 
 _LEVEL = {"ocr_page": 1, "ocr_carea": 2, "ocr_par": 3, "ocr_line": 4, "ocrx_word": 5}
@@ -69,10 +74,11 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
     line = -1
     for m in _ELEM.finditer(text):
         cls, title, inner = m.group(1), m.group(2), m.group(3)
-        bm = _BBOX.search(title)
+        bm = _TITLE_FAST.search(title)
         if not bm:
             continue
-        x0, y0, x1, y1 = map(int, bm.groups())
+        x0, y0, x1, y1 = map(int, bm.group(1, 2, 3, 4))
+        fast_conf = bm.group(5)
         level = _LEVEL[cls]
         if level == 1:
             continue
@@ -90,8 +96,11 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
             if block < 0:  # flat hOCR: synthesize missing parents
                 b_box.append((x0, x1, y0, y1))
                 block += 1
-            cm = _WCONF.search(title)
-            conf = int(cm.group(1)) if cm else default_conf
+            if fast_conf is not None:
+                conf = int(fast_conf)
+            else:  # x_wconf before bbox (non-Tesseract attr order)
+                cm = _WCONF.search(title)
+                conf = int(cm.group(1)) if cm else default_conf
             raw = inner or ""
             is_link = "<a" in raw
             # tag-strip only when a tag can exist (most words are plain text)

@@ -350,6 +350,19 @@ def test_hocr_malformed_content_parity():
     assert "unclosed" not in texts    # unclosed span yields empty, as before
 
 
+def test_hocr_title_attr_order_tolerance():
+    """x_wconf before bbox (non-Tesseract attr order) still parses — the
+    combined fast regex falls back to the standalone search."""
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    page = ("<div class='ocr_carea' id='b' title='bbox 0 0 500 40'>"
+            "<span class='ocrx_word' id='w' "
+            "title='x_wconf 77; bbox 10 10 60 30'>hi</span></div>")
+    doc = parse_hocr(page.encode())
+    assert list(doc.w_conf) == [77]
+    assert list(doc.w_text) == ["hi"]
+
+
 def test_journal_areas_segments_header_body_footer():
     """get_journal_areas (ocr_tree_analyser.py:248-392): inverted line-top
     projection finds the dense body band between sparse header/footer."""
