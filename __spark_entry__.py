@@ -9,10 +9,12 @@ is byte-identical to the whitespace-normalized source document text.
 
 ``queries()`` / ``oracle_sql()`` expose the full operator surface
 (SURVEY.md §2 relational analogs + dedup / similarity-search /
-text-analysis / extraction suites).  Every query has an exact DuckDB oracle
-except ``extract_blocks`` (raw block-geometry table, rows-only); reading
-order and spans are oracled by a recursive CTE that re-derives the
-generator's line-wrap arithmetic (``ops/extraction.py``).
+text-analysis / extraction suites).  Every query — including
+``extract_blocks`` — carries an exact DuckDB oracle; reading order, spans
+and blocks are oracled by a recursive CTE that re-derives the generator's
+line-wrap arithmetic (``ops/extraction.py``).  The registry iterates
+extraction → validation first (``ops/__init__.py:ALL_MODULES``) so the
+driver's capped CORRECTNESS report always covers the flagship family.
 """
 
 from __future__ import annotations

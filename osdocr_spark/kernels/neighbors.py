@@ -141,7 +141,10 @@ def neighbor_tables(bb: np.ndarray, idxs: np.ndarray,
     }
     for kind in kinds:
         hit, m = spec[kind]()
-        direct = hit & ~(hit.astype(np.int8) @ m.T.astype(np.int8) > 0)
+        # int32 accumulation: an int8 matmul wraps once a row has ≥128
+        # matching (hit, pair) entries — fine for ≤15-block corpus pages but
+        # wrong for real OCR pages with >127 blocks (ADVICE r2)
+        direct = hit & ~(hit.astype(np.int32) @ m.T.astype(np.int32) > 0)
         tbl = out[kind]
         for a in range(k):
             tbl[int(idxs[a])] = [int(idxs[b]) for b in np.nonzero(direct[a])[0]]

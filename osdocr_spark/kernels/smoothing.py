@@ -172,13 +172,16 @@ def whittaker_smooth(y, lmbda: float, order: int) -> np.ndarray:
         inv = _dense_inverse(n, float(lmbda), d)
         # layout histograms are spike-sparse (a handful of margins/sizes in
         # a page-width axis): summing only the nonzero columns turns the
-        # O(n²) matvec into O(n·k).  BLAS pairwise-summation order differs
-        # from the full matvec only at ulp level; the A/B suite (byte
-        # parity + size-class oracles) pins that this never flips a peak.
+        # O(n²) matvec into O(n·k).  This gather path is taken UNCONDITIONALLY
+        # (r2 ADVICE: an input-dependent sparse/dense branch made the float
+        # summation order a function of sparsity; one canonical path restores
+        # "same input → same bits").  For dense y the gather degenerates to
+        # the full matvec plus one O(n²) copy, n ≤ 2048.  Downstream peak
+        # detection uses exact comparisons; the A/B suite (byte parity +
+        # size-class oracles) pins that gather-vs-dense ulp drift never
+        # flipped a peak, and is now moot on this path.
         nz = np.nonzero(y)[0]
-        if len(nz) * 8 < n:
-            return inv[:, nz] @ y[nz]
-        return inv @ y
+        return inv[:, nz] @ y[nz]
     lband = np.array(_cholesky_band(n, float(lmbda), d), dtype=np.float64)
     # Solve L w = y (forward), then Lᵀ z = w (backward).
     w = np.empty(n, dtype=np.float64)

@@ -16,7 +16,13 @@ so Spark↔DuckDB float summation order can never flip a hash.
 
 from . import dedup, extraction, relational, simsearch, textstats, validation
 
-ALL_MODULES = (relational, textstats, dedup, simsearch, extraction, validation)
+# Order matters for the driver's CORRECTNESS report, which checks the FIRST
+# 50 registry entries only.  Round 2 shipped with relational-first ordering and
+# the entire extraction/validation tail (the flagship byte-parity gauntlets and
+# all v_* metrics) fell past the cap with no driver row.  Extraction and
+# validation lead now; the queries that fall out the back are relational shapes
+# with two fully-green driver rounds behind them.
+ALL_MODULES = (extraction, validation, dedup, simsearch, textstats, relational)
 
 
 def all_queries():

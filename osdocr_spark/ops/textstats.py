@@ -159,7 +159,10 @@ def t_char_entropy(spark, sf_dir):
     the docs table is already partitioned by doc_id so the groupBys reuse
     the partitioning."""
     d = _docs(spark, sf_dir)
-    chars = d.select(
+    # length guard: sequence(1, 0) on empty text yields the DESCENDING [1, 0]
+    # in Spark (two empty-string "chars" → a spurious output row) while the
+    # oracle's `WHERE i <= strlen(text)` yields nothing (ADVICE r2)
+    chars = d.filter(F.length("text") > 0).select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
