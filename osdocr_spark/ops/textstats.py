@@ -22,6 +22,12 @@ DATA_MARKERS = ("table", "row", "column")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan.  The repartition exists because the test corpus is ONE
+    small parquet file (a single scan split — zero parallelism without it);
+    on a production multi-TB table the scan has thousands of natural splits
+    and this exchange would be elided (it is a test-scale crutch, not part of
+    the operator's scale story — the per-row map queries below are otherwise
+    shuffle-free, and the agg queries exchange on their own compound keys)."""
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
@@ -155,9 +161,10 @@ def t_char_entropy(spark, sf_dir):
     before expensive quality models: natural text sits in a narrow entropy
     band; mojibake and boilerplate repeats fall outside it.
 
-    Plan shape: one explode + two doc_id-keyed aggregations (partial+final);
-    the docs table is already partitioned by doc_id so the groupBys reuse
-    the partitioning."""
+    Plan shape: one explode + two aggregations with map-side partial combine
+    (the first keys on (doc_id, c), so each exchanges on its own key — the
+    char-count table entering the second agg is already tiny: ≤ alphabet
+    size per doc)."""
     d = _docs(spark, sf_dir)
     # length guard: sequence(1, 0) on empty text yields the DESCENDING [1, 0]
     # in Spark (two empty-string "chars" → a spurious output row) while the
