@@ -278,30 +278,56 @@ def d_winnow(spark, sf_dir):
     (hash, position) — the rolling-hash fingerprint set that powers
     plagiarism/near-dup detection with guaranteed match coverage.
 
-    Tie-break: leftmost minimal position (encoded by taking the MIN of the
+    Tie-break: leftmost minimal position (encoded as the MIN of the
     fixed-width string ``hash:zero-padded-pos``, identical on both engines).
-    One narrow explode + one windowed min per doc — no joins."""
-    from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-    grams = d.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(1, length(text) - {WINNOW_K} + 1),"
-            f" i -> struct(i AS i, md5(CAST(substring(text, i, {WINNOW_K}) AS BINARY)) AS h))"
-        )).alias("g"),
-    ).select("doc_id", "g.i", "g.h")
-    key = F.concat("h", F.lit(":"), F.lpad(F.col("i").cast("string"), 8, "0"))
-    win = (Window.partitionBy("doc_id").orderBy("i")
-           .rowsBetween(-(WINNOW_W - 1), 0))
-    sel = (grams.withColumn("k", key)
-           .withColumn("sel", F.min("k").over(win))
-           .where(F.col("i") >= WINNOW_W)   # full windows only
-           .select("doc_id",
-                   F.substring("sel", 1, 32).alias("fp"),
-                   F.substring("sel", 34, 8).cast("int").alias("pos"))
-           .distinct())
-    return sel
+    Scale shape (round 3, VERDICT r2 item 4): fingerprints are computed
+    inside a per-doc Arrow kernel — the previous pure-SQL form (kept
+    verbatim as the DuckDB oracle, ``_O_WINNOW``) exploded one row per
+    character position and shuffled ~text-length× the corpus into a per-doc
+    window; at 100 TB that exchange IS the job.  The kernel path is narrow:
+    scan → length filter → mapInPandas, zero gram ever leaves its partition.
+    The in-doc sliding min is a vectorized ``sliding_window_view`` over
+    fixed-width byte keys (docs are short; windows are 8 wide)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    min_len = WINNOW_K + WINNOW_W - 1
+    d = (_docs(spark, sf_dir)
+         .where(F.length("text") >= min_len)
+         .select("doc_id", "text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        for pdf in batches:
+            out_d: list[int] = []
+            out_f: list[str] = []
+            out_p: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) - WINNOW_K + 1
+                keys = np.array(
+                    [hashlib.md5(text[i:i + WINNOW_K].encode("utf-8")).hexdigest()
+                     + ":" + str(i + 1).zfill(8) for i in range(n)],
+                    dtype="S41")
+                wins = np.lib.stride_tricks.sliding_window_view(keys, WINNOW_W)
+                # np.minimum has no bytes loop; per-window sort (W=8) does
+                for k in np.unique(np.sort(wins, axis=1)[:, 0]):
+                    ks = k.decode()
+                    out_d.append(int(doc_id))
+                    out_f.append(ks[:32])
+                    out_p.append(int(ks[33:41]))
+            yield pd.DataFrame({"doc_id": pd.Series(out_d, dtype="int64"),
+                                "fp": out_f,
+                                "pos": pd.Series(out_p, dtype="int32")})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("fp", T.StringType()),
+                           T.StructField("pos", T.IntegerType())])
+    return d.mapInPandas(run, schema)
 
 
 _O_WINNOW = f"""

@@ -48,30 +48,62 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
     return pages_from_documents(docs, noisy=noisy, multi_article=multi_article)
 
 
+def _resume_done(spark: SparkSession, path: str, resume: bool) -> DataFrame | None:
+    """urls already committed at ``path`` (the last snapshot on Iceberg),
+    or None when starting fresh."""
+    if resume and os.path.isdir(path):
+        try:
+            return spark.read.parquet(path).select("url").distinct()
+        except Exception:
+            return None
+    return None
+
+
 def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,
                     num_partitions: int | None = None, resume: bool = True,
-                    noisy: bool = False, clean: bool = False) -> dict:
+                    noisy: bool = False, clean: bool = False,
+                    per_stage: bool = False) -> dict:
     """Extract every page; write ``extracted`` + per-partition ``metrics``
     parquet tables under ``out_dir``.  Returns summary counters.
 
     Resume semantics: if ``out_dir/extracted`` exists and ``resume``, urls
     already present are skipped via a broadcast-friendly left-anti join on
     the committed checkpoint (Iceberg: the last committed snapshot).
-    """
+
+    ``per_stage=True`` additionally checkpoints the parse stage as a
+    ``parsed`` table (the reference's per-stage result-JSON discipline,
+    ``O/pipeline.py:803-817``, in table form): stage 1 parses only urls
+    missing from ``out_dir/parsed``; stage 2 extracts — from the checkpoint,
+    never re-parsing — only urls missing from ``out_dir/extracted``.  A job
+    killed between the stages resumes with zero re-parses.  At 10^12 docs
+    this is the difference between re-running a failed categorize stage and
+    re-running the whole corpus parse."""
     pages = load_pages(spark, sf_dir, num_partitions=num_partitions, noisy=noisy)
     extracted_path = os.path.join(out_dir, "extracted")
     metrics_path = os.path.join(out_dir, "metrics")
 
-    done_urls = None
-    if resume and os.path.isdir(extracted_path):
-        try:
-            done_urls = spark.read.parquet(extracted_path).select("url").distinct()
-        except Exception:
-            done_urls = None
-    if done_urls is not None:
-        pages = pages.join(done_urls, on="url", how="left_anti")
+    if per_stage:
+        from .stages import extract_parsed, parse_pages
+        parsed_path = os.path.join(out_dir, "parsed")
+        done_parsed = _resume_done(spark, parsed_path, resume)
+        todo = pages
+        if done_parsed is not None:
+            todo = todo.join(done_parsed, on="url", how="left_anti")
+        parse_pages(todo).write.mode(
+            "append" if done_parsed is not None else "overwrite"
+        ).parquet(parsed_path)
 
-    extracted = extract_pages(pages, clean=clean)
+        parsed = spark.read.parquet(parsed_path)
+        done_urls = _resume_done(spark, extracted_path, resume)
+        if done_urls is not None:
+            parsed = parsed.join(done_urls, on="url", how="left_anti")
+        extracted = extract_parsed(parsed, clean=clean)
+    else:
+        done_urls = _resume_done(spark, extracted_path, resume)
+        if done_urls is not None:
+            pages = pages.join(done_urls, on="url", how="left_anti")
+        extracted = extract_pages(pages, clean=clean)
+
     mode = "append" if done_urls is not None else "overwrite"
     extracted.write.mode(mode).parquet(extracted_path)
 
@@ -90,5 +122,8 @@ def run_extract_job(spark: SparkSession, sf_dir: str, out_dir: str,
         F.count("*").alias("urls"),
         F.sum("n_words").alias("words"),
     ).collect()[0]
-    return {"urls": int(summary["urls"]), "words": int(summary["words"]),
-            "extracted_path": extracted_path, "metrics_path": metrics_path}
+    out = {"urls": int(summary["urls"]), "words": int(summary["words"]),
+           "extracted_path": extracted_path, "metrics_path": metrics_path}
+    if per_stage:
+        out["parsed_path"] = os.path.join(out_dir, "parsed")
+    return out

@@ -27,8 +27,9 @@ from ..kernels.hocr import parse_hocr
 from ..kernels.pipeline import extract_document, extract_html
 
 __all__ = [
-    "PAGES_SCHEMA", "EXTRACTED_SCHEMA", "BLOCKS_SCHEMA",
+    "PAGES_SCHEMA", "EXTRACTED_SCHEMA", "BLOCKS_SCHEMA", "PARSED_SCHEMA",
     "pages_from_documents", "extract_pages", "blocks_from_pages",
+    "parse_pages", "extract_parsed",
     "salted_repartition", "url_for_doc",
 ]
 
@@ -192,6 +193,68 @@ def articles_from_pages(pages: DataFrame, clean: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in ARTICLES_SCHEMA.fields])
 
     return pages.select("url", "html").mapInPandas(run, ARTICLES_SCHEMA)
+
+
+PARSED_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("doc_json", T.StringType()),
+    T.StructField("partition_id", T.IntegerType()),
+])
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """Stage 1 alone: parse each page into the reference's flat JSON wire
+    format (``OCR_Tree.to_json``, ``ocr_tree.py:270-290``) — the per-stage
+    checkpoint artifact.  The reference checkpoints every pipeline stage as
+    result JSON (``O/pipeline.py:803-817``); this is its table-shaped analog:
+    a resumable ``parsed`` table so a failed downstream stage never re-pays
+    the parse."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        from ..kernels.serialize import to_json
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "doc_json": [to_json(parse_hocr(bytes(h), url=u))
+                             for u, h in zip(pdf["url"], pdf["html"])],
+                "partition_id": pid,
+            })
+
+    return pages.select("url", "html").mapInPandas(run, PARSED_SCHEMA)
+
+
+def extract_parsed(parsed: DataFrame, clean: bool = False) -> DataFrame:
+    """Stages 2–6 over a checkpointed ``parsed`` table: deserialize the JSON
+    wire format and run analysis → categorize → boilerplate → order →
+    articles → emit.  Same output contract as :func:`extract_pages`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        from ..kernels.serialize import from_json
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            rows = []
+            for url, dj in zip(pdf["url"], pdf["doc_json"]):
+                doc = from_json(dj, url=url)
+                if clean:
+                    from ..kernels.fix import clean_doc
+                    doc = clean_doc(doc)
+                r = extract_document(doc)
+                rows.append((
+                    r["url"], r["text"], r["raw_text"], r["n_blocks"],
+                    r["n_main_blocks"], r["n_articles"], r["n_words"],
+                    r["normal_text_size"], r["detected_columns"],
+                    r["reading_order"],
+                    [{"block_id": b, "start": s, "end": e} for b, s, e in r["spans"]],
+                    pid,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA.fields])
+
+    return parsed.select("url", "doc_json").mapInPandas(run, EXTRACTED_SCHEMA)
 
 
 def blocks_from_pages(pages: DataFrame, categorize: bool = True) -> DataFrame:

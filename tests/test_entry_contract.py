@@ -132,6 +132,18 @@ def test_plan_no_cartesian_in_pair_generators(spark):
             assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_plan_winnow_is_narrow(spark):
+    """Scale hygiene (r2 verdict item 4): winnowing fingerprints must come
+    from the per-doc Arrow kernel — no per-character-position row explode
+    shuffled through a per-doc window.  The only allowed exchange is the
+    test-scale repartition of the single-file documents scan."""
+    from osdocr_spark.ops.dedup import d_winnow
+
+    plan = d_winnow(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 1, plan[:2000]
+
+
 def test_salted_partitions_balanced(spark):
     """Scale hygiene: the domain key is Zipf-skewed by construction
     (URL_DOMAINS buckets), but after the salted repartition no partition
@@ -161,6 +173,39 @@ def test_job_resume(spark, tmp_path):
     m = spark.read.parquet(r1["metrics_path"])
     total = m.groupBy().sum("url_count").collect()[0][0]
     assert total == 500
+
+
+def test_job_resume_per_stage_no_reparse(spark, tmp_path):
+    """A job killed after the parse stage resumes from the parsed checkpoint
+    without re-parsing a single page (SURVEY §4.2 per-stage snapshots; the
+    reference's per-stage result-JSON discipline, O/pipeline.py:803-817)."""
+    import os as _os
+    from osdocr_spark.spark.jobs import load_pages, run_extract_job
+    from osdocr_spark.spark.stages import parse_pages
+
+    out = str(tmp_path / "out")
+    parsed_path = _os.path.join(out, "parsed")
+    # simulate the kill: stage 1 committed, stage 2 never ran
+    parse_pages(load_pages(spark, SF, num_partitions=8)) \
+        .write.mode("overwrite").parquet(parsed_path)
+    before = sorted(f for f in _os.listdir(parsed_path) if f.endswith(".parquet"))
+
+    r = run_extract_job(spark, SF, out, num_partitions=8, per_stage=True)
+    assert r["urls"] == 500
+    # the parsed checkpoint was reused verbatim: every original part file
+    # survives and not one row was re-parsed (a re-parse would append
+    # duplicate urls; the empty append may add zero-row part files)
+    after = sorted(f for f in _os.listdir(parsed_path) if f.endswith(".parquet"))
+    assert set(before) <= set(after)
+    parsed = spark.read.parquet(parsed_path)
+    assert parsed.count() == 500
+    assert parsed.select("url").distinct().count() == 500
+    # and the per-stage path produces the same text as the fused path
+    from pyspark.sql import functions as F
+    from osdocr_spark.spark.stages import extract_pages
+    a = spark.read.parquet(r["extracted_path"]).select("url", "text")
+    b = extract_pages(load_pages(spark, SF, num_partitions=8)).select("url", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 def test_parallelism_invariance(spark, entry_mod):
