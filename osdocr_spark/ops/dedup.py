@@ -105,6 +105,57 @@ def _sql_minhash_inner() -> str:
 _O_MINHASH = f"SELECT * FROM ({_sql_minhash_inner()})"
 
 
+def d_minhash_weighted(spark, sf_dir):
+    """Weighted MinHash over the shingle *multiset* (integer weights =
+    occurrence counts), via the classic count-expansion reduction: each
+    shingle with count c contributes elements (shingle, 1..c), and ordinary
+    MinHash over the expanded set estimates the weighted Jaccard
+    J_w(A,B) = Σ min(a_s, b_s) / Σ max(a_s, b_s) exactly as set-Jaccard of
+    the expansions.  Complements ``d_minhash``'s set semantics for corpora
+    where repetition is the signal (boilerplate floods, template spam).
+
+    Plan shape at scale: shingle counts are ONE map-side-combinable groupBy
+    (no array_distinct pass); the expansion is a narrow in-partition explode
+    bounded by the per-doc max count; signatures are 4 min-aggs in one
+    groupBy — same exchange count as the unweighted op."""
+    d = _docs(spark, sf_dir).where(F.size(F.split("text", " ")) >= 3)
+    multiset = _SHINGLE_EXPR.replace("array_distinct(", "(")
+    sh = d.select("doc_id", F.explode(F.expr(multiset)).alias("shingle"))
+    counts = (sh.groupBy("doc_id", "shingle")
+              .agg(F.count("*").cast("int").alias("c")))
+    ex = counts.select(
+        "doc_id", "shingle", F.explode(F.expr("sequence(1, c)")).alias("k"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("k").cast("string"),
+                                F.col("shingle")).cast("binary"))).alias(f"wsig_{j}")
+        for j in range(N_BANDS)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_weighted() -> str:
+    sigs = ",\n       ".join(
+        f"MIN(md5('{j}:' || k || ':' || shingle)) AS wsig_{j}"
+        for j in range(N_BANDS))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         sp[i + 1] || ' ' || sp[i + 2] || ' ' || sp[i + 3] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       range(0, 10000) r(i)
+  WHERE i <= len(sp) - 3 AND len(sp) >= 3),
+cnt AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+ex AS (SELECT doc_id, shingle, CAST(k AS INT) AS k
+       FROM cnt, range(1, 10000) r(k) WHERE k <= c)
+SELECT doc_id,
+       {sigs}
+FROM ex GROUP BY doc_id
+"""
+
+
+_O_MINHASH_W = _sql_minhash_weighted()
+
+
 def d_minhash_pairs(spark, sf_dir):
     """LSH candidate pairs: docs sharing a minhash in any band (bucket size
     capped at {BUCKET_CAP}; larger buckets are degenerate shingle floods and
@@ -469,6 +520,7 @@ _resolve_oracle_templates()
 QUERIES = {
     "d_exact": d_exact,
     "d_minhash": d_minhash,
+    "d_minhash_weighted": d_minhash_weighted,
     "d_minhash_pairs": d_minhash_pairs,
     "d_simhash": d_simhash,
     "d_jaccard_sample": d_jaccard_sample,
@@ -482,6 +534,7 @@ ORACLES = {
     "d_winnow_pairs": _O_WINNOW_PAIRS,
     "d_exact": _O_EXACT,
     "d_minhash": _O_MINHASH,
+    "d_minhash_weighted": _O_MINHASH_W,
     "d_minhash_pairs": _O_MINHASH_PAIRS,
     "d_simhash": _O_SIMHASH,
     "d_jaccard_sample": _O_JACCARD,

@@ -252,11 +252,129 @@ SELECT 'https://news-' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/a/'
 FROM documents
 """
 
+def v_calibrate(spark, sf_dir):
+    """The reference's calibration harness (``calibrate.py:320-500``) at
+    table scale: score a sweep of pipeline configs with the combined
+    pre/post-processing score mix and pick the best config per score
+    (first-wins on ties, like ``choose_best_pipeline_options``'s
+    strictly-greater comparison).
+
+    The reference scores one results-tree per pipeline config; here the
+    config axis is a deterministic degradation sweep standing in for those
+    result trees (config 0 = intact extraction; 1 = every 7th token lost;
+    2 = every 3rd token lost), and every metric is *really computed* on the
+    degraded text: Jaro–Winkler ground-truth similarity (the
+    ``calibrate.py:212`` metric, exact-oracled like ``v_jaro_winkler``),
+    word-count recovery ratio, word accuracy and unique-word ratio.  Score
+    weights are the reference's constants: pre = 5·conf/100 + 3·columns +
+    4·similarity + 2·count-ratio + 4·accuracy + 2·unique-ratio
+    (``config_preprocessing_score``), post = 5·articles + 4·order-ratio
+    (``config_posprocessing_score``).
+
+    Plan shape: a broadcast 3-row config sweep × one narrow Arrow kernel
+    (degrade + JW per (doc, config)) → per-doc scores in exact integer
+    ten-thousandths (BIGINT sums — no float summation-order hazard) → one
+    3-group aggregation + a 3-row window for the argmax.  At 10^12 docs the
+    corpus passes the kernel once per config and nothing else moves."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    cfg = spark.range(3).select(F.col("id").cast("int").alias("config"))
+    j = d.crossJoin(F.broadcast(cfg))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, config in zip(pdf["doc_id"], pdf["text"], pdf["config"]):
+                toks = text.split(" ")
+                if config == 0:
+                    keep = toks
+                else:
+                    dmod = 7 if config == 1 else 3
+                    keep = [w for i, w in enumerate(toks) if (i + 1) % dmod != 0]
+                deg = " ".join(keep)
+                rows.append((int(doc_id), int(config),
+                             round(_jaro_winkler(deg, text), 4),
+                             len(keep), len(set(keep)), len(toks)))
+            yield pd.DataFrame(rows, columns=["doc_id", "config", "sim",
+                                              "kept", "uniq", "nw"])
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("config", T.IntegerType()),
+        T.StructField("sim", T.DoubleType()), T.StructField("kept", T.IntegerType()),
+        T.StructField("uniq", T.IntegerType()), T.StructField("nw", T.IntegerType()),
+    ])
+    m = j.mapInPandas(run, schema)
+    # conf term: all generated words carry x_wconf 95 → 5·(95/100); columns
+    # term: layout intact under token drops → full 3; articles exact → 5;
+    # order: a kept subsequence preserves order → ratio 1.0 → 4
+    pre = (F.lit(5 * 0.95 + 3.0)
+           + 4.0 * F.col("sim")
+           + 2.0 * F.col("kept") / F.col("nw")
+           + 4.0 * F.col("kept") / F.col("nw")
+           + 2.0 * F.col("uniq") / F.col("kept"))
+    scored = m.select(
+        "config",
+        F.round(pre * 10000, 0).cast("long").alias("pre_i"),
+        F.lit((5.0 + 4.0) * 10000).cast("long").alias("post_i"))
+    agg = (scored.groupBy("config")
+           .agg(F.round(F.sum("pre_i") / F.count("*") / 10000.0, 4)
+                .alias("preprocessing_score"),
+                F.round(F.sum("post_i") / F.count("*") / 10000.0, 4)
+                .alias("posprocessing_score")))
+    from pyspark.sql import Window
+    w_pre = Window.orderBy(F.desc("preprocessing_score"), F.asc("config"))
+    w_post = Window.orderBy(F.desc("posprocessing_score"), F.asc("config"))
+    return agg.select(
+        "config", "preprocessing_score", "posprocessing_score",
+        (F.row_number().over(w_pre) == 1).alias("best_preprocessing"),
+        (F.row_number().over(w_post) == 1).alias("best_posprocessing"))
+
+
+_O_CALIBRATE = """
+WITH cfg AS (SELECT unnest([0, 1, 2]) AS config),
+tok AS (
+  SELECT doc_id, CAST(i AS INT) AS i, sp[CAST(i AS INT)] AS w, len(sp) AS nw
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       range(1, 10000) r(i)
+  WHERE i <= len(sp)),
+deg AS (
+  SELECT t.doc_id, c.config, string_agg(t.w, ' ' ORDER BY t.i) AS dtext,
+         MAX(t.nw) AS nw, COUNT(*) AS kept, COUNT(DISTINCT t.w) AS uniq
+  FROM tok t, cfg c
+  WHERE c.config = 0 OR (t.i % (CASE c.config WHEN 1 THEN 7 ELSE 3 END)) != 0
+  GROUP BY 1, 2),
+m AS (
+  SELECT d.doc_id, d.config,
+         ROUND(jaro_winkler_similarity(d.dtext, doc.text), 4) AS sim,
+         d.kept, d.uniq, d.nw
+  FROM deg d JOIN documents doc USING (doc_id)),
+sc AS (
+  SELECT config,
+         CAST(ROUND((5 * 0.95 + 3.0 + 4.0 * sim
+                     + 2.0 * kept / CAST(nw AS DOUBLE)
+                     + 4.0 * kept / CAST(nw AS DOUBLE)
+                     + 2.0 * uniq / CAST(kept AS DOUBLE)) * 10000, 0) AS BIGINT) AS pre_i,
+         90000 AS post_i
+  FROM m),
+agg AS (
+  SELECT config,
+         ROUND(SUM(pre_i) / COUNT(*) / 10000.0, 4) AS preprocessing_score,
+         ROUND(SUM(post_i) / COUNT(*) / 10000.0, 4) AS posprocessing_score
+  FROM sc GROUP BY config)
+SELECT CAST(config AS INT) AS config, preprocessing_score, posprocessing_score,
+       ROW_NUMBER() OVER (ORDER BY preprocessing_score DESC, config ASC) = 1
+         AS best_preprocessing,
+       ROW_NUMBER() OVER (ORDER BY posprocessing_score DESC, config ASC) = 1
+         AS best_posprocessing
+FROM agg
+"""
+
+
 QUERIES = {
     "v_unique_word_ratio": v_unique_word_ratio,
     "v_tfidf_pairs": v_tfidf_pairs,
     "v_jaro_winkler": v_jaro_winkler,
     "v_order_similarity": v_order_similarity,
+    "v_calibrate": v_calibrate,
 }
 
 ORACLES = {
@@ -264,4 +382,5 @@ ORACLES = {
     "v_tfidf_pairs": _O_TFIDF,
     "v_jaro_winkler": _O_JW,
     "v_order_similarity": _O_ORDER,
+    "v_calibrate": _O_CALIBRATE,
 }

@@ -25,9 +25,10 @@ SUBSET = [
     "q_set_ops", "q_hll_distinct", "d_minhash", "d_simhash",
     "d_winnow_pairs", "s_ann_bruteforce", "s_ann_ivf", "s_ann_pq",
     "t_quality", "m_frame_sample", "v_jaro_winkler",
-    # all four v_* metrics, permanently: three of these had zero cross-engine
+    # all v_* metrics, permanently: three of these had zero cross-engine
     # evidence in round 2 (past the driver's 50-row cap, not in this subset)
     "v_unique_word_ratio", "v_tfidf_pairs", "v_order_similarity",
+    "v_calibrate", "d_minhash_weighted",
 ]
 
 
