@@ -230,7 +230,11 @@ best of 3) ran alongside: per-proc parity **{canary['parity']}**
 (1.0 = the box's 32 cores deliver 32× one core's md5 throughput; on quiet
 windows this box measures ≈1.0, so parity below that quantifies external
 interference during the suite and bounds how much of any extraction-job
-loss is the box rather than the job).
+loss is the box rather than the job).  Canary ABSOLUTE per-proc rates —
+1-proc {canary['per_proc_1']}, 32-proc {canary['per_proc_32']} — are the
+cross-round comparator: absolute docs/s numbers from different rounds are
+only comparable after normalizing by these (the shared VM's delivered
+per-core speed varies round to round).
 
 | config | docs | wall (s) | docs/sec | all rep walls (s) |
 | --- | --- | --- | --- | --- |
