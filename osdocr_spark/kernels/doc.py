@@ -72,6 +72,8 @@ class Document:
         self._line_cache: dict = {}
         self._words_cache: dict = {}
         self._vt_cache: dict = {}
+        self._mwh_cache: dict = {}
+        self._text_cache: dict = {}
         self._lines_built: set = set()
         self._nonempty_cache: dict = {}
 
@@ -206,25 +208,38 @@ class Document:
                 (keys[s:e], boxes[s:e], counts[s:e]) if e > s else empty)
 
     def block_mean_word_height(self, bi: int, conf: int = -1) -> float:
-        """``calculate_mean_height(level=5)`` (``ocr_tree.py:530-539``)."""
+        """``calculate_mean_height(level=5)`` (``ocr_tree.py:530-539``).
+        Memoized per (block, conf) like ``block_is_vertical_text`` — classify,
+        ordering and emission all ask, and the word table is immutable for
+        this Document's lifetime (mutation rebuilds the Document)."""
+        hit = self._mwh_cache.get((bi, conf))
+        if hit is not None:
+            return hit
         wi = self.words_of(bi)
         if conf >= 0:
             wi = wi[self.w_conf[wi] >= conf]
         if len(wi) == 0:
-            return 0.0
-        return float(g.height(self.w_box[wi]).mean())
+            out = 0.0
+        else:
+            h = g.height(self.w_box[wi])
+            out = float(h.sum()) / len(h)
+        self._mwh_cache[(bi, conf)] = out
+        return out
 
     def block_char_mean_width(self, bi: int, conf: int = -1) -> float:
-        """``calculate_character_mean_width`` (``ocr_tree.py:550-559``)."""
+        """``calculate_character_mean_width`` (``ocr_tree.py:550-559``).
+        Memoized per (block, conf) — immutable word table, see
+        ``block_mean_word_height``."""
+        hit = self._mwh_cache.get((bi, conf, "cw"))
+        if hit is not None:
+            return hit
         wi = self.words_of(bi)
         if conf >= 0:
             wi = wi[self.w_conf[wi] >= conf]
-        if len(wi) == 0:
-            return 0.0
-        nchars = sum(len(self.w_text[i]) for i in wi)
-        if nchars == 0:
-            return 0.0
-        return float(g.width(self.w_box[wi]).sum()) / nchars
+        nchars = sum(len(self.w_text[i]) for i in wi) if len(wi) else 0
+        out = float(g.width(self.w_box[wi]).sum()) / nchars if nchars else 0.0
+        self._mwh_cache[(bi, conf, "cw")] = out
+        return out
 
     def block_is_text_size(self, bi: int, text_size: float, mean_height: float | None = None,
                            rng: float = 0.3, conf: int = -1) -> bool:
@@ -277,6 +292,13 @@ class Document:
             wd = text_delimiters.get(5, " ")
             ld = text_delimiters.get(4, "\n")
             pd = text_delimiters.get(3, "\n\t")
+        # memoized per (block, conf, delimiters): classify's start/end-flag
+        # pass and the emission path ask for the same renderings; the word
+        # table is immutable for this Document's lifetime
+        key = (bi, conf, wd, ld, pd)
+        hit = self._text_cache.get(key)
+        if hit is not None:
+            return hit
         wi = self.words_of(bi)
         out: list[str] = []
         last_par = None
@@ -294,7 +316,9 @@ class Document:
             if self.w_conf[i] >= conf:
                 out.append(self.w_text[i])
                 out.append(wd)
-        return "".join(out)
+        res = "".join(out)
+        self._text_cache[key] = res
+        return res
 
     def block_is_text_width(self, bi: int, text_width: float, mean_width: float | None = None,
                             rng: float = 0.3, conf: int = -1) -> bool:
