@@ -73,12 +73,12 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
     par = -1
     line = -1
     for m in _ELEM.finditer(text):
-        cls, title, inner = m.group(1), m.group(2), m.group(3)
+        cls, title, inner = m.group(1, 2, 3)
         bm = _TITLE_FAST.search(title)
         if not bm:
             continue
-        x0, y0, x1, y1 = map(int, bm.group(1, 2, 3, 4))
-        fast_conf = bm.group(5)
+        x0, y0, x1, y1, fast_conf = bm.group(1, 2, 3, 4, 5)
+        x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
         level = _LEVEL[cls]
         if level == 1:
             continue

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .stages import PAGES_SCHEMA, extract_pages
 
 __all__ = ["stream_extract", "stream_domain_stats", "stream_first_seen",
-           "stream_minhash_candidates"]
+           "stream_minhash_candidates", "stream_simhash_dups"]
 
 
 def stream_extract(spark: SparkSession, pages_dir: str, out_dir: str,
@@ -249,6 +249,113 @@ def stream_minhash_candidates(spark: SparkSession, pages_dir: str, out_dir: str,
         .format("parquet")
         .option("path", os.path.join(out_dir, "minhash_candidates"))
         .option("checkpointLocation", os.path.join(out_dir, "_minhash_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_simhash_dups(spark: SparkSession, pages_dir: str, out_dir: str,
+                        max_files_per_trigger: int = 8, max_hamming: int = 3,
+                        bucket_cap: int = 100):
+    """Streaming SimHash near-dup PAIRS: the online companion to the batch
+    ``d_simhash`` signatures — emits (url, other, hamming) as pages arrive.
+
+    Hashing is byte-identical to the batch operator: per token, bit b votes
+    ±1 by the parity of the b-th md5 hex digit; signature bit = sign of the
+    vote sum.  Candidate routing is the pigeonhole banding of the 16-bit
+    signature into 4×4-bit chunks: Hamming distance ≤ 3 forces at least one
+    identical chunk, so keying the state store by (band, chunk) finds every
+    qualifying pair while each bucket holds only ~1/16 of the corpus.  Every
+    arrival compares against all stored bucket members (exact Hamming
+    check), so below the cap the emitted pair set is arrival-order
+    independent.  State per bucket is capped at ``bucket_cap`` members (the
+    flood guard; beyond it the bucket stops admitting — documented coverage
+    bound).  At scale the state store shards by bucket key."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(pages_dir)
+        .select("url", "text")
+    )
+
+    key_schema = T.StructType([
+        T.StructField("band", T.IntegerType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("sig", T.IntegerType()),
+    ])
+
+    def signatures(batches):
+        for pdf in batches:
+            bands, chunks, urls, sigs = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                votes = [0] * 16
+                for t in text.split(" "):
+                    h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for b in range(16):
+                        votes[b] += (int(h[b], 16) % 2) * 2 - 1
+                sig = sum(1 << b for b in range(16) if votes[b] > 0)
+                for band in range(4):
+                    bands.append(band)
+                    chunks.append((sig >> (4 * band)) & 0xF)
+                    urls.append(url)
+                    sigs.append(sig)
+            yield pd.DataFrame({"band": bands, "chunk": chunks,
+                                "url": urls, "sig": sigs})
+
+    keyed = pages.mapInPandas(signatures, key_schema)
+
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("other", T.StringType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("urls", T.ArrayType(T.StringType())),
+        T.StructField("sigs", T.ArrayType(T.IntegerType())),
+    ])
+
+    def pair_up(key, pdfs, state: GroupState):
+        band = int(key[0])
+        if state.exists:
+            urls, sigs = list(state.get[0]), list(state.get[1])
+        else:
+            urls, sigs = [], []
+        have = set(urls)
+        out_u, out_o, out_h = [], [], []
+        for pdf in pdfs:
+            for url, sig in zip(pdf["url"], pdf["sig"]):
+                if url in have or len(urls) >= bucket_cap:
+                    continue
+                sig = int(sig)
+                for u2, s2 in zip(urls, sigs):
+                    ham = bin(sig ^ s2).count("1")
+                    if ham <= max_hamming:
+                        out_u.append(url)
+                        out_o.append(u2)
+                        out_h.append(ham)
+                have.add(url)
+                urls.append(url)
+                sigs.append(sig)
+        state.update((urls, sigs))
+        yield pd.DataFrame({"url": out_u, "other": out_o, "hamming": out_h,
+                            "band": [band] * len(out_u)})
+
+    dups = keyed.groupBy("band", "chunk").applyInPandasWithState(
+        pair_up, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    return (
+        dups.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "simhash_dups"))
+        .option("checkpointLocation", os.path.join(out_dir, "_simhash_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )

@@ -167,3 +167,53 @@ def test_stream_first_seen_stateful_dedup(spark, tmp_path):
     got = spark.read.parquet(os.path.join(out_dir, "first_seen"))
     assert got.count() == 500          # every url exactly once
     assert got.select("url").distinct().count() == 500
+
+
+def test_stream_simhash_dups(spark, tmp_path):
+    """Streaming SimHash near-dups: hashing byte-identical to the batch
+    d_simhash operator (cross-checked against it), pigeonhole banding finds
+    EXACTLY the Hamming<=3 pairs (no bucket hits the cap at this SF), state
+    survives micro-batches, and no pair is emitted twice per band."""
+    from pyspark.sql import functions as F
+    from osdocr_spark.ops.dedup import d_simhash
+    from osdocr_spark.spark.jobs import load_pages
+    from osdocr_spark.spark.streaming import stream_simhash_dups
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages = load_pages(spark, SF, num_partitions=4)
+    _write_one_file(pages.limit(250), pages_dir, 1_700_000_000)
+    _write_one_file(pages.subtract(pages.limit(250)), pages_dir, 1_700_000_100)
+
+    # the synthetic corpus's shared vocabulary clusters simhashes heavily
+    # (chunk buckets up to ~180 of 500 docs), so raise the flood cap past
+    # the largest bucket — below the cap the emitted pair set is exactly
+    # the Hamming<=3 set, order-independently
+    q = stream_simhash_dups(spark, pages_dir, out_dir, max_files_per_trigger=1,
+                            bucket_cap=600)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(os.path.join(out_dir, "simhash_dups"))
+
+    # expected: batch signatures -> all unordered pairs with hamming <= 3
+    from osdocr_spark.spark.stages import url_for_doc
+    sig = {url_for_doc(r["doc_id"]): int(r["simhash"])
+           for r in d_simhash(spark, SF).collect()}
+    # cap never binds at this SF (else the emitted set is order-dependent)
+    from collections import Counter
+    buckets = Counter((b, (s >> (4 * b)) & 0xF) for s in sig.values() for b in range(4))
+    assert max(buckets.values()) < 600, "bucket cap would bind; test invalid"
+    urls = sorted(sig)
+    expected = set()
+    for i, u in enumerate(urls):
+        for v in urls[i + 1:]:
+            if bin(sig[u] ^ sig[v]).count("1") <= 3:
+                expected.add(frozenset((u, v)))
+    got_pairs = {frozenset((r["url"], r["other"])) for r in got.collect()}
+    assert got_pairs == expected
+    # emitted hamming values are exact
+    for r in got.collect():
+        assert r["hamming"] == bin(sig[r["url"]] ^ sig[r["other"]]).count("1")
+    # per band a pair appears at most once
+    per = got.groupBy("band", "url", "other").count().agg(F.max("count")).collect()[0][0]
+    assert per is None or per == 1
