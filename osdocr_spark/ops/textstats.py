@@ -288,6 +288,50 @@ GROUP BY lang, source
 """
 
 
+NGRAM_N = 5        # boilerplate-mining gram length (tokens)
+NGRAM_TOPK = 50
+
+
+def t_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-k most frequent word 5-grams with document frequency —
+    the boilerplate/contamination mining primitive a training-data pipeline
+    runs before dedup (a gram appearing across many documents is template
+    text; one appearing many times in few documents is repetition spam).
+
+    Plan shape at 10^12 docs: one explode, one map-side-combinable groupBy
+    (count + conditional distinct via the per-(gram, doc) pre-agg), then
+    global top-k as TakeOrderedAndProject — per-partition heaps, never a
+    full sort.  Ties at the k-boundary are broken by the gram string so the
+    result set is deterministic on both engines."""
+    d = _docs(spark, sf_dir)
+    grams = (d.where(F.size(F.split("text", " ")) >= NGRAM_N)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(0, size(split(text, ' ')) - {NGRAM_N}),"
+                 f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {NGRAM_N})))"
+             )).alias("gram")))
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("c"))
+    agg = (per_doc.groupBy("gram")
+           .agg(F.sum("c").alias("n_occurrences"),
+                F.count("*").alias("n_docs")))
+    return (agg.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+            .limit(NGRAM_TOPK))
+
+
+_O_NGRAM_TOPK = f"""
+WITH grams AS (
+  SELECT doc_id, array_to_string(sp[i + 1 : i + {NGRAM_N}], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       range(0, 100000) r(i)
+  WHERE len(sp) >= {NGRAM_N} AND i <= len(sp) - {NGRAM_N})
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+
 FRAME_STRIDE = 1024   # byte stride between sampled "frames"
 MAX_FRAMES = 4
 THUMB_BYTES = 16
@@ -354,6 +398,7 @@ QUERIES = {
     "t_bigram_lm": t_bigram_lm,
     "t_char_entropy": t_char_entropy,
     "t_stratified_sample": t_stratified_sample,
+    "t_ngram_topk": t_ngram_topk,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
 }
@@ -362,6 +407,7 @@ ORACLES = {
     "t_bigram_lm": _O_BIGRAM_LM,
     "t_char_entropy": _O_ENTROPY,
     "t_stratified_sample": _O_STRATIFIED,
+    "t_ngram_topk": _O_NGRAM_TOPK,
     "m_frame_sample": _O_FRAMES,
     "t_token_count": _O_TOKENS,
     "t_quality": _O_QUALITY,
