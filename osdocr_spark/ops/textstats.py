@@ -288,6 +288,56 @@ GROUP BY lang, source
 """
 
 
+def t_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals (Rae et al. 2021's
+    quality-filter family): duplicate word-bigram fraction, duplicate
+    word-trigram fraction, and the most-frequent-bigram share — the cheap
+    repetition/spam filters a training-data pipeline applies before any
+    model-based scoring.
+
+    Plan shape: everything computes INSIDE array expressions on the row
+    (transform/array_distinct/filter over ≤doc-length arrays) — a narrow
+    whole-stage-codegen projection, zero shuffles beyond the test-scale scan
+    repartition.  At 10^12 docs this is the ideal shape: no per-doc
+    aggregation state ever leaves the row."""
+    d = _docs(spark, sf_dir).where(F.size(F.split("text", " ")) >= 3)
+    bgs = ("transform(sequence(0, size(ts) - 2),"
+           " i -> concat(ts[i], ' ', ts[i + 1]))")
+    tgs = ("transform(sequence(0, size(ts) - 3),"
+           " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))")
+    return (d.select("doc_id", F.split("text", " ").alias("ts"))
+            .select(
+                "doc_id",
+                F.expr(f"round(1 - size(array_distinct({bgs}))"
+                       f" / cast(size(ts) - 1 AS double), 4)").alias("dup_bigram_frac"),
+                F.expr(f"round(array_max(transform(array_distinct({bgs}),"
+                       f" b -> size(filter({bgs}, x -> x = b))))"
+                       f" / cast(size(ts) - 1 AS double), 4)").alias("top_bigram_frac"),
+                F.expr(f"round(1 - size(array_distinct({tgs}))"
+                       f" / cast(size(ts) - 2 AS double), 4)").alias("dup_trigram_frac"),
+            ))
+
+
+_O_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+bg AS (SELECT doc_id, sp[CAST(i AS INT) + 1] || ' ' || sp[CAST(i AS INT) + 2] AS b
+       FROM t, range(0, 10000) r(i) WHERE i <= len(sp) - 2),
+tg AS (SELECT doc_id, sp[CAST(i AS INT) + 1] || ' ' || sp[CAST(i AS INT) + 2]
+                      || ' ' || sp[CAST(i AS INT) + 3] AS g
+       FROM t, range(0, 10000) r(i) WHERE i <= len(sp) - 3),
+b1 AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT b) AS d FROM bg GROUP BY doc_id),
+bm AS (SELECT doc_id, MAX(c) AS mx
+       FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+t1 AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3 FROM tg GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(1 - d / CAST(n AS DOUBLE), 4) AS dup_bigram_frac,
+       ROUND(mx / CAST(n AS DOUBLE), 4) AS top_bigram_frac,
+       ROUND(1 - d3 / CAST(n3 AS DOUBLE), 4) AS dup_trigram_frac
+FROM b1 JOIN bm USING (doc_id) JOIN t1 USING (doc_id)
+"""
+
+
 NGRAM_N = 5        # boilerplate-mining gram length (tokens)
 NGRAM_TOPK = 50
 
@@ -399,6 +449,7 @@ QUERIES = {
     "t_char_entropy": t_char_entropy,
     "t_stratified_sample": t_stratified_sample,
     "t_ngram_topk": t_ngram_topk,
+    "t_repetition": t_repetition,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
 }
@@ -408,6 +459,7 @@ ORACLES = {
     "t_char_entropy": _O_ENTROPY,
     "t_stratified_sample": _O_STRATIFIED,
     "t_ngram_topk": _O_NGRAM_TOPK,
+    "t_repetition": _O_REPETITION,
     "m_frame_sample": _O_FRAMES,
     "t_token_count": _O_TOKENS,
     "t_quality": _O_QUALITY,

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--noisy", action="store_true", help="inject defects (fix-suite demo)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--clean", action="store_true", help="run the fix suite before analysis")
+    ap.add_argument("--per-stage", action="store_true",
+                    help="checkpoint the parse stage as a resumable 'parsed' "
+                         "table; a restart never re-parses committed urls")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +43,7 @@ def main() -> None:
     summary = run_extract_job(
         spark, args.input, args.output,
         num_partitions=args.partitions, resume=not args.no_resume,
-        noisy=args.noisy, clean=args.clean,
+        noisy=args.noisy, clean=args.clean, per_stage=args.per_stage,
     )
     print(json.dumps(summary))
 

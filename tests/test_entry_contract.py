@@ -108,8 +108,9 @@ def test_plan_topk_is_take_ordered(spark):
     (per-partition heap top-k + driver merge) — never an unpartitioned
     window funnelling the whole table through one task."""
     from osdocr_spark.ops.relational import q_join_topk, q_topk_global
+    from osdocr_spark.ops.textstats import t_ngram_topk
 
-    for q in (q_topk_global, q_join_topk):
+    for q in (q_topk_global, q_join_topk, t_ngram_topk):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, \
             f"{q.__name__} lost TakeOrderedAndProject:\n{plan[:2000]}"
