@@ -164,6 +164,58 @@ WHERE rn <= 3
 """
 
 
+def s_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): each query probes its own
+    sign-bit bucket PLUS every Hamming-1 neighbor bucket (one sign flipped —
+    the perturbations most likely to hold near neighbors that fell on the
+    other side of one hyperplane).  Candidates grow to ~(1+{N_PLANES})/2^{N_PLANES}
+    of the corpus — the standard recall/latency knob between ``s_ann_lsh``
+    (1 probe) and brute force, with ONE table instead of L independent ones.
+
+    Plan shape: the probe expansion happens on the tiny broadcast query side
+    (9 rows per query); the corpus side keeps exactly one bucket per vector,
+    so a (query, candidate) pair matches in at most one probe — no dedup
+    pass, no corpus-side explode, same bounded broadcast join as 1-probe."""
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_expr("embedding", "spark")))
+    probes = "array(bucket, " + ", ".join(
+        f"bucket ^ {1 << j}" for j in range(N_PLANES)) + ")"
+    q = (e.where(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("a"),
+                 F.explode(F.expr(probes)).alias("bucket")))
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("b"), "bucket")
+    j = c.join(F.broadcast(q), ["bucket"]).where(F.col("q_id") != F.col("c_id"))
+    scored = _with_cos(j)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+            .select("q_id", "c_id", "cos", "rn"))
+
+
+_O_ANN_LSH_MP = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_expr("embedding")} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS a,
+             CASE WHEN p = 0 THEN bucket
+                  ELSE xor(bucket, CAST(POWER(2, p - 1) AS INT)) END AS bucket
+      FROM e, range(0, {N_PLANES + 1}) r(p) WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, embedding AS b, bucket FROM e),
+norms AS (
+  SELECT vec_id, SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS nrm
+  FROM embeddings, range(1, {DIM + 1}) r(i) GROUP BY vec_id),
+dots AS (
+  SELECT q_id, c_id, SUM(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)) AS dot
+  FROM q JOIN c USING (bucket), range(1, {DIM + 1}) r(i)
+  WHERE q_id <> c_id
+  GROUP BY q_id, c_id),
+scored AS (
+  SELECT q_id, c_id, ROUND(dot / (SQRT(nq.nrm) * SQRT(nc.nrm)), 4) AS cos
+  FROM dots JOIN norms nq ON q_id = nq.vec_id JOIN norms nc ON c_id = nc.vec_id)
+SELECT q_id, c_id, cos, rn FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INT) AS rn
+  FROM scored)
+WHERE rn <= 3
+"""
+
+
 K_IVF = 16          # coarse-quantizer lists
 CENT_STRIDE = 31    # centroid c = embedding of vec_id 31·c (exists at every SF)
 NPROBE = 2
@@ -496,6 +548,7 @@ QUERIES = {
     "s_ann_bruteforce": s_ann_bruteforce,
     "s_lsh_buckets": s_lsh_buckets,
     "s_ann_lsh": s_ann_lsh,
+    "s_ann_lsh_multiprobe": s_ann_lsh_multiprobe,
     "s_ann_ivf": s_ann_ivf,
     "s_ann_pq": s_ann_pq,
     "s_ann_ivfpq": s_ann_ivfpq,
@@ -505,6 +558,7 @@ ORACLES = {
     "s_ann_bruteforce": _O_BRUTE,
     "s_lsh_buckets": _O_LSH_BUCKETS,
     "s_ann_lsh": _O_ANN_LSH,
+    "s_ann_lsh_multiprobe": _O_ANN_LSH_MP,
     "s_ann_ivf": _O_ANN_IVF,
     "s_ann_pq": _O_ANN_PQ,
     "s_ann_ivfpq": _O_ANN_IVFPQ,
