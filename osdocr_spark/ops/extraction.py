@@ -63,6 +63,18 @@ def extract_text_noisy(spark, sf_dir):
             .select("url", "text"))
 
 
+def extract_text_per_stage(spark, sf_dir):
+    """Per-stage checkpoint-path gauntlet: parse → serialize to the
+    reference's flat-JSON wire format (``kernels/serialize``, the
+    ``run_extract_job(per_stage=True)`` checkpoint artifact) → deserialize →
+    stages 2–6.  Byte-identical text through the round-trip proves the
+    checkpoint table carries everything extraction needs — the property the
+    no-reparse resume story rests on."""
+    from ..spark.stages import extract_parsed, parse_pages
+    return (extract_parsed(parse_pages(load_pages(spark, sf_dir)))
+            .select("url", "text"))
+
+
 def extract_multi_articles(spark, sf_dir):
     """Article-isolation gauntlet: the multi-article layout plants a second
     headline at the top of column 2; ``graph_isolate_articles`` must cut
@@ -496,6 +508,7 @@ FROM documents
 QUERIES = {
     "extract_text": extract_text,
     "extract_text_noisy": extract_text_noisy,
+    "extract_text_per_stage": extract_text_per_stage,
     "extract_multi_articles": extract_multi_articles,
     "extract_article_titles": extract_article_titles,
     "order_paths_agree": order_paths_agree,
@@ -509,6 +522,7 @@ QUERIES = {
 ORACLES = {
     "extract_text": _O_TEXT,
     "extract_text_noisy": _O_TEXT,
+    "extract_text_per_stage": _O_TEXT,
     "extract_multi_articles": _O_TEXT,
     "extract_article_titles": _O_TITLES,
     "order_paths_agree": _O_ORDER_AGREE,
