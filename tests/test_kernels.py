@@ -51,6 +51,29 @@ def test_neighbor_tables_match_per_call(bxs):
             assert tabs[kind][int(i)] == ref, (kind, int(i), bb.tolist())
 
 
+def test_neighbor_tables_wide_page_no_overflow():
+    """Regression for the r2-ADVICE int8 matmul overflow: on a page with
+    >127 mutually-stacked blocks the dominance-prune accumulator used to
+    wrap (128 matching (hit, pair) entries → negative → prune skipped).
+    A 200-block single-column stack makes every lower block a below-hit of
+    block 0 with ~199 pair entries; only the adjacent block may survive."""
+    from osdocr_spark.kernels import neighbors as nb
+
+    n = 200
+    # one column: block i spans y ∈ [10·i, 10·i+8], same x extent
+    bb = np.array([[0, 100, 10 * i, 10 * i + 8] for i in range(n)], dtype=np.int64)
+    idxs = np.arange(n, dtype=np.int64)
+    tabs = nb.neighbor_tables(bb, idxs)
+    for kind, fn in (("below", nb.directly_below), ("right", nb.directly_right),
+                     ("above", nb.directly_above)):
+        for i in (0, 1, n // 2, n - 2, n - 1):
+            ref = [int(x) for x in fn(bb, int(i), idxs[idxs != i])]
+            assert tabs[kind][int(i)] == ref, (kind, int(i))
+    # the stack's semantics: exactly the adjacent block is directly below
+    assert tabs["below"][0] == [1]
+    assert tabs["above"][n - 1] == [n - 2]
+
+
 @settings(max_examples=300, deadline=None)
 @given(boxes, boxes)
 def test_scalar_order_helpers_match_geometry(a, b):
