@@ -267,12 +267,23 @@ def generate_page(doc_id: int, text: str, noisy: bool = False,
                                  for i in range(0, len(cl), LINES_PER_BLOCK)])
 
         pitch = s + s // 2
+        t2_box = None
         for ci in range(n_cols):
             x0 = MARGIN + ci * (col_w + GUTTER)
             y = y_body
+            # a planted article-2 headline renders at title size and can span
+            # into the NEXT column's x-range; real newspaper layout starts
+            # that column's content below the headline (without this, the
+            # title and the neighbor column's first block physically overlap
+            # and reading order on the broken geometry is undefined — caught
+            # as 7/5000 byte-parity failures at sf0.1)
+            if (t2_box is not None and x0 < t2_box[1]
+                    and x0 + col_w > t2_box[0]):
+                y = max(y, t2_box[3] + s)
             if ci in titles_at:
                 t2 = em.block([titles_at[ci]], x0, y, p["title_size"],
                               p["title_size"] * 3 // 5, word_gap=cw)
+                t2_box = t2
                 y = t2[3] + s
                 body_bottom = max(body_bottom, t2[3])
             if noisy and ci == 0:
