@@ -77,6 +77,22 @@ def test_layout_stats(docs):
         assert len(r["reading_order"]) == r["n_main_blocks"] - n_delims
 
 
+def test_multi_article_headline_span_collision_regression():
+    """Pins the round-3 generator fix: on 3-column multi-article pages the
+    article-2 headline spans into column 2, and column 2's body must start
+    BELOW it — these seven sf0.1 docs produced overlapping geometry (and
+    byte-parity failures) before the fix.  sf0.001/sf0.01 never hit the
+    combination, which is why only a full sf0.1 sweep caught it."""
+    ids = (1911, 2687, 3135, 3275, 3931, 4125, 4429)
+    rows = duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.1/documents.parquet' "
+        f"where doc_id in {ids}").fetchall()
+    assert len(rows) == len(ids)
+    for doc_id, text in rows:
+        r = extract_html(str(doc_id), generate_page(doc_id, text, multi_article=True))
+        assert r["text"] == re.sub(r"\s+", " ", text).strip(), f"doc {doc_id}"
+
+
 def test_multi_article_isolation(docs):
     """graph_isolate_articles cuts at the planted column-2 headline; the
     concatenated article emission still reproduces the source text."""
