@@ -504,14 +504,42 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def d_cc_sizes(spark, sf_dir):
+    """Dedup savings report: cluster-size histogram over the connected
+    components — per size, how many clusters and how many documents dedup
+    would DROP (size − 1 per cluster, keeping the min-id representative).
+    The accounting a pipeline publishes alongside every dedup run: "the
+    corpus shrinks by Σ docs_removable".
+
+    Plan shape: two tiny aggregations over the labels table (one row per
+    clustered doc) — negligible next to the clustering itself."""
+    labels = d_cc_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy("sz")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum(F.col("sz") - 1).alias("docs_removable"))
+            .select(F.col("sz").alias("cluster_size"), "n_clusters",
+                    "docs_removable"))
+
+
+_O_CC_SIZES = """
+WITH cc AS ({CC}),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY cluster_id)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz - 1) AS BIGINT) AS docs_removable
+FROM sizes GROUP BY sz
+"""
+
+
 def _resolve_oracle_templates() -> None:
     """Late-bind the oracle placeholders (candidate-pair CTE, LSH bucket
     expression) — kept out of the f-strings so SQL braces stay literal."""
-    global _O_JACCARD, _O_EMB_NEARDUP
+    global _O_JACCARD, _O_EMB_NEARDUP, _O_CC_SIZES
     from .simsearch import _bucket_expr
 
     _O_JACCARD = _O_JACCARD.replace("{MINHASH_PAIRS}", _O_MINHASH_PAIRS)
     _O_EMB_NEARDUP = _O_EMB_NEARDUP.replace("{BUCKET}", _bucket_expr("embedding"))
+    _O_CC_SIZES = _O_CC_SIZES.replace("{CC}", _O_CC)
 
 
 _resolve_oracle_templates()
@@ -526,6 +554,7 @@ QUERIES = {
     "d_jaccard_sample": d_jaccard_sample,
     "d_embedding_neardup": d_embedding_neardup,
     "d_cc_clusters": d_cc_clusters,
+    "d_cc_sizes": d_cc_sizes,
     "d_winnow": d_winnow,
     "d_winnow_pairs": d_winnow_pairs,
 }
@@ -540,5 +569,6 @@ ORACLES = {
     "d_jaccard_sample": _O_JACCARD,
     "d_embedding_neardup": _O_EMB_NEARDUP,
     "d_cc_clusters": _O_CC,
+    "d_cc_sizes": _O_CC_SIZES,
     "d_winnow": _O_WINNOW,
 }
