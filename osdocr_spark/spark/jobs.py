@@ -27,7 +27,44 @@ from pyspark.sql import functions as F
 
 from .stages import extract_pages, pages_from_documents, salted_repartition
 
-__all__ = ["run_extract_job", "load_pages"]
+__all__ = ["run_extract_job", "load_pages", "load_pages_from_hocr_dir",
+           "load_parsed_from_json_dir"]
+
+
+def load_pages_from_hocr_dir(spark: SparkSession, hocr_dir: str,
+                             pattern: str = "*.hocr") -> DataFrame:
+    """Source connector for a directory of raw hOCR files — the artifact a
+    reference user already has on disk (Tesseract/OSDOCR output).  Reads via
+    the ``binaryFile`` format (path-pruned, splittable listing; on a real
+    cluster the same shape reads an object-store prefix) into the
+    Common-Crawl-shaped pages schema: url = file path, html = raw bytes.
+    Feed straight into :func:`~osdocr_spark.spark.stages.extract_pages`."""
+    df = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", pattern).load(hocr_dir))
+    return df.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def load_parsed_from_json_dir(spark: SparkSession, json_dir: str,
+                              pattern: str = "*.json") -> DataFrame:
+    """Source connector for a directory of saved result JSONs — the
+    reference's per-target checkpoint artifact (``OCR_Tree.to_json`` flat
+    node lists, ``ocr_tree.py:270-290``), which :mod:`kernels.serialize`
+    reads.  Returns the ``parsed`` table shape (url, doc_json), ready for
+    :func:`~osdocr_spark.spark.stages.extract_parsed` — a reference user can
+    point this at their existing results tree and run stages 2–6 without
+    re-OCRing anything."""
+    df = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", pattern).load(json_dir))
+    return df.select(
+        F.col("path").alias("url"),
+        F.decode(F.col("content"), "utf-8").alias("doc_json"),
+    )
 
 
 def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = None,

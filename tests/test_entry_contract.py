@@ -259,3 +259,47 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hocr_dir_and_json_dir_sources(spark, tmp_path):
+    """File-based source connectors (§2.1): a directory of raw .hocr files
+    and a directory of reference-format result JSONs both load and extract
+    byte-identically to the in-memory path."""
+    import re as _re
+    import duckdb
+    from osdocr_spark.kernels.corpus import generate_page
+    from osdocr_spark.kernels.hocr import parse_hocr
+    from osdocr_spark.kernels.serialize import to_json
+    from osdocr_spark.spark.jobs import (load_pages_from_hocr_dir,
+                                         load_parsed_from_json_dir)
+    from osdocr_spark.spark.stages import extract_pages, extract_parsed
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SF}/documents.parquet' "
+        "order by doc_id limit 40").fetchall()
+    hocr_dir = tmp_path / "hocr"
+    json_dir = tmp_path / "json"
+    hocr_dir.mkdir(); json_dir.mkdir()
+    want = {}
+    for doc_id, text in rows:
+        page = generate_page(doc_id, text)
+        (hocr_dir / f"{doc_id}.hocr").write_bytes(page)
+        (json_dir / f"{doc_id}.json").write_text(
+            to_json(parse_hocr(page, url=str(doc_id))))
+        want[str(doc_id)] = _re.sub(r"\s+", " ", text).strip()
+
+    got_h = {r["url"]: r["text"] for r in
+             extract_pages(load_pages_from_hocr_dir(spark, str(hocr_dir)))
+             .select("url", "text").collect()}
+    assert len(got_h) == len(rows)
+    for url, text in got_h.items():
+        doc_id = url.rsplit("/", 1)[1].removesuffix(".hocr")
+        assert text == want[doc_id], url
+
+    got_j = {r["url"]: r["text"] for r in
+             extract_parsed(load_parsed_from_json_dir(spark, str(json_dir)))
+             .select("url", "text").collect()}
+    assert len(got_j) == len(rows)
+    for url, text in got_j.items():
+        doc_id = url.rsplit("/", 1)[1].removesuffix(".json")
+        assert text == want[doc_id], url
