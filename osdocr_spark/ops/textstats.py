@@ -439,6 +439,77 @@ WHERE i * {FRAME_STRIDE} < strlen(text)
 """
 
 
+AUDIO_WIN = 1024   # bytes per analysis window
+AUDIO_HOP = 512    # hop (50% overlap — the standard STFT framing shape)
+MAX_CHUNKS = 6
+
+
+def m_audio_chunks(spark, sf_dir):
+    """Multimodal audio stub: treat each document's bytes as an opaque PCM
+    payload and frame it into OVERLAPPING analysis windows (1024-byte
+    window, 512-byte hop — the STFT framing every audio featurizer uses;
+    distinct from ``m_frame_sample``'s disjoint video strides).  The
+    spectral decode is deliberately stubbed (audio libs absent) to a
+    deterministic per-window byte checksum standing in for energy; the
+    Spark plumbing — binary column in, UDTF-shaped ``mapInPandas`` out
+    (one payload → N overlapping windows), typed offsets — is the real
+    production shape for windowed feature extraction."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _docs(spark, sf_dir).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, offs, lens, en = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                for i in range(MAX_CHUNKS):
+                    off = i * AUDIO_HOP
+                    if off >= len(buf):
+                        break
+                    w = buf[off:off + AUDIO_WIN]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(w))
+                    # stubbed decode: a real pipeline would hand w to an
+                    # FFT here; the deterministic stand-in is the byte sum
+                    en.append(sum(w))
+            yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs,
+                                "byte_offset": offs, "n_bytes": lens,
+                                "energy_stub": en})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("energy_stub", T.LongType()),
+    ])
+    return d.mapInPandas(run, schema)
+
+
+# all-ASCII corpus: char offsets == byte offsets; energy = sum of code units
+_O_AUDIO = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(j AS INT) AS j,
+         ord(substring(text, CAST(j AS INT), 1)) AS v, strlen(text) AS L
+  FROM documents, range(1, 100000) r(j) WHERE j <= strlen(text)),
+chunks AS (
+  SELECT d.doc_id, CAST(i AS INT) AS i, d.L
+  FROM (SELECT DISTINCT doc_id, L FROM pos) d, range(0, {MAX_CHUNKS}) r(i)
+  WHERE i * {AUDIO_HOP} < d.L)
+SELECT c.doc_id, c.i AS chunk_idx,
+       CAST(c.i * {AUDIO_HOP} AS BIGINT) AS byte_offset,
+       CAST(LEAST({AUDIO_WIN}, c.L - c.i * {AUDIO_HOP}) AS INT) AS n_bytes,
+       CAST(SUM(p.v) AS BIGINT) AS energy_stub
+FROM chunks c JOIN pos p ON p.doc_id = c.doc_id
+     AND p.j > c.i * {AUDIO_HOP} AND p.j <= c.i * {AUDIO_HOP} + {AUDIO_WIN}
+GROUP BY 1, 2, 3, 4
+"""
+
+
 QUERIES = {
     "t_token_count": t_token_count,
     "t_quality": t_quality,
@@ -452,6 +523,7 @@ QUERIES = {
     "t_repetition": t_repetition,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
+    "m_audio_chunks": m_audio_chunks,
 }
 
 ORACLES = {
@@ -467,4 +539,5 @@ ORACLES = {
     "t_fingerprint": _O_FP,
     "t_clean_text": _O_CLEAN,
     "m_media_meta": _O_MEDIA,
+    "m_audio_chunks": _O_AUDIO,
 }
