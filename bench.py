@@ -35,6 +35,9 @@ HEADLINE = [
     "s_ann_bruteforce",
     "s_ann_ivf",
     "t_quality",
+    # added r3 (absent keys in earlier BENCH_r{N}.json simply don't compare):
+    "d_winnow",     # reshaped this round: narrow kernel, no per-gram shuffle
+    "v_calibrate",  # new family: config sweep + score mix
 ]
 
 
