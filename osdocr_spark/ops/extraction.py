@@ -75,6 +75,35 @@ def extract_text_per_stage(spark, sf_dir):
             .select("url", "text"))
 
 
+def extract_text_hocr_roundtrip(spark, sf_dir):
+    """hOCR SINK gauntlet: parse each page, serialize it back to hOCR with
+    the writer (``kernels.hocr.to_hocr`` — the reference's save-path
+    artifact, ``ocr_tree.py:307-382``), re-parse the WRITTEN bytes and
+    extract.  Byte-identical text through the write→read cycle promotes the
+    sink's fidelity from a pytest roundtrip to a driver-oracled row."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pages = load_pages(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.hocr import parse_hocr, to_hocr
+        from ..kernels.pipeline import extract_document
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                written = to_hocr(parse_hocr(bytes(html), url=url))
+                r = extract_document(parse_hocr(written, url=url))
+                rows.append((url, r["text"]))
+            yield pd.DataFrame(rows, columns=["url", "text"])
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("text", T.StringType())])
+    return pages.select("url", "html").mapInPandas(run, schema)
+
+
 def extract_multi_articles(spark, sf_dir):
     """Article-isolation gauntlet: the multi-article layout plants a second
     headline at the top of column 2; ``graph_isolate_articles`` must cut
@@ -509,6 +538,7 @@ QUERIES = {
     "extract_text": extract_text,
     "extract_text_noisy": extract_text_noisy,
     "extract_text_per_stage": extract_text_per_stage,
+    "extract_text_hocr_roundtrip": extract_text_hocr_roundtrip,
     "extract_multi_articles": extract_multi_articles,
     "extract_article_titles": extract_article_titles,
     "order_paths_agree": order_paths_agree,
@@ -523,6 +553,7 @@ ORACLES = {
     "extract_text": _O_TEXT,
     "extract_text_noisy": _O_TEXT,
     "extract_text_per_stage": _O_TEXT,
+    "extract_text_hocr_roundtrip": _O_TEXT,
     "extract_multi_articles": _O_TEXT,
     "extract_article_titles": _O_TITLES,
     "order_paths_agree": _O_ORDER_AGREE,
