@@ -29,6 +29,10 @@ SUBSET = [
     # evidence in round 2 (past the driver's 50-row cap, not in this subset)
     "v_unique_word_ratio", "v_tfidf_pairs", "v_order_similarity",
     "v_calibrate", "d_minhash_weighted",
+    # round-3 additions — every new op ships with permanent pytest parity
+    "extract_text_per_stage", "extract_text_hocr_roundtrip",
+    "t_ngram_topk", "t_repetition", "s_ann_lsh_multiprobe",
+    "d_cc_sizes", "m_audio_chunks",
 ]
 
 
