@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._bounds import MAX_DOC_CHARS, MAX_DOC_TOKENS
+
 __all__ = ["QUERIES", "ORACLES"]
 
 N_BANDS = 4
@@ -50,11 +52,11 @@ def _shingles(d: DataFrame) -> DataFrame:
             .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle")))
 
 
-_SQL_SHINGLES = """
+_SQL_SHINGLES = f"""
   SELECT DISTINCT doc_id,
          sp[i + 1] || ' ' || sp[i + 2] || ' ' || sp[i + 3] AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-       range(0, 10000) r(i)
+       range(0, {MAX_DOC_TOKENS}) r(i)
   WHERE i <= len(sp) - 3 AND len(sp) >= 3
 """
 
@@ -142,11 +144,11 @@ WITH sh AS (
   SELECT doc_id,
          sp[i + 1] || ' ' || sp[i + 2] || ' ' || sp[i + 3] AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-       range(0, 10000) r(i)
+       range(0, {MAX_DOC_TOKENS}) r(i)
   WHERE i <= len(sp) - 3 AND len(sp) >= 3),
 cnt AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2),
 ex AS (SELECT doc_id, shingle, CAST(k AS INT) AS k
-       FROM cnt, range(1, 10000) r(k) WHERE k <= c)
+       FROM cnt, range(1, {MAX_DOC_TOKENS}) r(k) WHERE k <= c)
 SELECT doc_id,
        {sigs}
 FROM ex GROUP BY doc_id
@@ -385,7 +387,7 @@ _O_WINNOW = f"""
 WITH grams AS (
   SELECT doc_id, i,
          md5(substring(text, CAST(i AS INT), {WINNOW_K})) AS h
-  FROM documents, range(1, 100000) r(i)
+  FROM documents, range(1, {MAX_DOC_CHARS}) r(i)
   WHERE strlen(text) >= {WINNOW_K + WINNOW_W - 1}
     AND i <= strlen(text) - {WINNOW_K} + 1),
 keyed AS (

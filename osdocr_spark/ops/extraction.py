@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import functions as _F
 
+from ._bounds import MAX_DOC_TOKENS
 from ..spark.jobs import load_pages
 from ..spark.stages import (URL_DOMAINS, articles_from_pages, blocks_from_pages,
                             extract_pages)
@@ -237,7 +238,13 @@ def extract_boilerplate_stats(spark, sf_dir):
 
 _O_BOILER = f"""
 SELECT {_URL_SQL} AS url,
-       CAST(5 + len(string_split(text, ' ')) // 12 AS INT) AS n_boilerplate,
+       -- nav + footer are unconditional (2); the marginalia rail (3 + nw//12)
+       -- exists only when the page has body words, i.e. nw > title_n
+       -- (kernels/corpus.py: the rail is emitted under ``if body_words``)
+       CAST(CASE WHEN len(string_split(text, ' ')) >
+                      (CASE WHEN len(string_split(text, ' ')) < 24 THEN 2 ELSE 4 END)
+                 THEN 5 + len(string_split(text, ' ')) // 12
+                 ELSE 2 END AS INT) AS n_boilerplate,
        CAST(CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
                  ELSE 1 + CAST(doc_id % 2 AS INT) END AS INT) AS n_delimiters
 FROM documents
@@ -342,7 +349,7 @@ lines AS (
 )
 """
 
-_O_READING_ORDER = _O_WRAP_PREFIX + """,
+_O_READING_ORDER = _O_WRAP_PREFIX + f""",
 fin AS (
   SELECT s.doc_id, s.n_lines + CASE WHEN s.has_cur THEN 1 ELSE 0 END AS tl
   FROM sim s JOIN lay3 l USING (doc_id)
@@ -357,17 +364,17 @@ nmain AS (
                       0) AS nm
   FROM lay3 l LEFT JOIN fin f USING (doc_id))
 SELECT url, CAST(g AS INT) AS order_idx, CAST(g + 1 AS INT) AS block_id
-FROM nmain, range(0, 10000) r(g) WHERE g < nm
+FROM nmain, range(0, {MAX_DOC_TOKENS}) r(g) WHERE g < nm
 """
 
-_O_SPANS = _O_WRAP_PREFIX + """,
+_O_SPANS = _O_WRAP_PREFIX + f""",
 fin AS (
   SELECT s.doc_id, s.n_lines + CASE WHEN s.has_cur THEN 1 ELSE 0 END AS tl
   FROM sim s JOIN lay3 l USING (doc_id)
   WHERE s.stream = 0 AND s.pending IS NULL AND s.i > len(l.bw)),
 twords AS (
   SELECT doc_id, 1 AS block_id, strlen(ws[CAST(g AS INT)]) AS wl
-  FROM lay3, range(1, 10000) r(g) WHERE g <= title_n AND g <= nw),
+  FROM lay3, range(1, {MAX_DOC_TOKENS}) r(g) WHERE g <= title_n AND g <= nw),
 -- body block of a global line index i under the lines-balanced fill:
 -- col ci = i // (q+1) while i < (q+1)*r, else r + (i - (q+1)*r) // q;
 -- block = blocks-before-ci + (i - col_start) // 5

@@ -54,15 +54,6 @@ def _with_cos(joined: DataFrame) -> DataFrame:
     )
 
 
-def _cosine_pairs(spark, sf_dir, sample_mod: int, min_cos: float) -> DataFrame:
-    e = _emb(spark, sf_dir).where(F.col("vec_id") % sample_mod == 0)
-    x = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a"))
-    y = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b"))
-    j = x.join(y, F.col("a_id") < F.col("b_id"))
-    return (_with_cos(j).where(F.col("cos") >= min_cos)
-            .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"), "cos"))
-
-
 def s_ann_bruteforce(spark, sf_dir):
     """Exact top-5 cosine neighbors for the vec_id%50==0 query sample
     (queries broadcast; full scan over candidates)."""

@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._bounds import MAX_DOC_CHARS, MAX_DOC_TOKENS
+
 __all__ = ["QUERIES", "ORACLES"]
 
 STOPWORDS = ("the", "a")
@@ -182,11 +184,11 @@ def t_char_entropy(spark, sf_dir):
 
 
 # H = ln N - (Σ n·ln n)/N — one pass, no per-class p division
-_O_ENTROPY = """
+_O_ENTROPY = f"""
 WITH cnt AS (
   SELECT doc_id, c, COUNT(*) AS n
   FROM (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
-        FROM documents, range(1, 100000) r(i) WHERE i <= strlen(text))
+        FROM documents, range(1, {MAX_DOC_CHARS}) r(i) WHERE i <= strlen(text))
   GROUP BY doc_id, c)
 SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
        ROUND(-SUM(n * LN(n)) / SUM(n) + LN(SUM(n)), 4) AS entropy
@@ -249,11 +251,11 @@ def t_bigram_lm(spark, sf_dir):
                  F.count("*").alias("n_bigrams")))
 
 
-_O_BIGRAM_LM = """
+_O_BIGRAM_LM = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 big AS (
   SELECT doc_id, ts[i + 1] AS w1, ts[i + 2] AS w2
-  FROM toks, range(0, 10000) r(i) WHERE i <= len(ts) - 2),
+  FROM toks, range(0, {MAX_DOC_TOKENS}) r(i) WHERE i <= len(ts) - 2),
 uni_c AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
 big_c AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
 lm AS (SELECT w1, w2, LN(c2 / CAST(c1 AS DOUBLE)) AS lp
@@ -318,14 +320,14 @@ def t_repetition(spark, sf_dir):
             ))
 
 
-_O_REPETITION = """
+_O_REPETITION = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents
            WHERE len(string_split(text, ' ')) >= 3),
 bg AS (SELECT doc_id, sp[CAST(i AS INT) + 1] || ' ' || sp[CAST(i AS INT) + 2] AS b
-       FROM t, range(0, 10000) r(i) WHERE i <= len(sp) - 2),
+       FROM t, range(0, {MAX_DOC_TOKENS}) r(i) WHERE i <= len(sp) - 2),
 tg AS (SELECT doc_id, sp[CAST(i AS INT) + 1] || ' ' || sp[CAST(i AS INT) + 2]
                       || ' ' || sp[CAST(i AS INT) + 3] AS g
-       FROM t, range(0, 10000) r(i) WHERE i <= len(sp) - 3),
+       FROM t, range(0, {MAX_DOC_TOKENS}) r(i) WHERE i <= len(sp) - 3),
 b1 AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT b) AS d FROM bg GROUP BY doc_id),
 bm AS (SELECT doc_id, MAX(c) AS mx
        FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
@@ -371,7 +373,7 @@ _O_NGRAM_TOPK = f"""
 WITH grams AS (
   SELECT doc_id, array_to_string(sp[i + 1 : i + {NGRAM_N}], ' ') AS gram
   FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-       range(0, 100000) r(i)
+       range(0, {MAX_DOC_CHARS}) r(i)
   WHERE len(sp) >= {NGRAM_N} AND i <= len(sp) - {NGRAM_N})
 SELECT gram,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
@@ -495,7 +497,7 @@ _O_AUDIO = f"""
 WITH pos AS (
   SELECT doc_id, CAST(j AS INT) AS j,
          ord(substring(text, CAST(j AS INT), 1)) AS v, strlen(text) AS L
-  FROM documents, range(1, 100000) r(j) WHERE j <= strlen(text)),
+  FROM documents, range(1, {MAX_DOC_CHARS}) r(j) WHERE j <= strlen(text)),
 chunks AS (
   SELECT d.doc_id, CAST(i AS INT) AS i, d.L
   FROM (SELECT DISTINCT doc_id, L FROM pos) d, range(0, {MAX_CHUNKS}) r(i)

@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._bounds import MAX_DOC_TOKENS
 from pyspark.sql import types as T
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -329,12 +331,12 @@ def v_calibrate(spark, sf_dir):
         (F.row_number().over(w_post) == 1).alias("best_posprocessing"))
 
 
-_O_CALIBRATE = """
+_O_CALIBRATE = f"""
 WITH cfg AS (SELECT unnest([0, 1, 2]) AS config),
 tok AS (
   SELECT doc_id, CAST(i AS INT) AS i, sp[CAST(i AS INT)] AS w, len(sp) AS nw
   FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-       range(1, 10000) r(i)
+       range(1, {MAX_DOC_TOKENS}) r(i)
   WHERE i <= len(sp)),
 deg AS (
   SELECT t.doc_id, c.config, string_agg(t.w, ' ' ORDER BY t.i) AS dtext,
