@@ -105,6 +105,20 @@ def extract_text_hocr_roundtrip(spark, sf_dir):
     return pages.select("url", "html").mapInPandas(run, schema)
 
 
+def extract_text_adversarial(spark, sf_dir):
+    """Irregular-layout gauntlet (round 4, VERDICT r3 item 1): pages render
+    through ``kernels.corpus.generate_page_adversarial`` — four layout
+    families by doc_id%4 (ragged unequal columns; an image block with a
+    caption directly below it, exercising the image→caption +50 attraction,
+    ``ocr_tree_analyser.py:1618-1625``; a vertical-text block,
+    ``ocr_tree.py:613-657``; a >127-block page locking in the int32
+    dominance path) — and extraction must STILL return the byte-identical
+    normalized source text.  This drives the attraction/classification
+    branches the regular fixture's layout family never reaches."""
+    return (extract_pages(load_pages(spark, sf_dir, adversarial=True))
+            .select("url", "text"))
+
+
 def extract_multi_articles(spark, sf_dir):
     """Article-isolation gauntlet: the multi-article layout plants a second
     headline at the top of column 2; ``graph_isolate_articles`` must cut
@@ -546,6 +560,7 @@ QUERIES = {
     "extract_text_noisy": extract_text_noisy,
     "extract_text_per_stage": extract_text_per_stage,
     "extract_text_hocr_roundtrip": extract_text_hocr_roundtrip,
+    "extract_text_adversarial": extract_text_adversarial,
     "extract_multi_articles": extract_multi_articles,
     "extract_article_titles": extract_article_titles,
     "order_paths_agree": order_paths_agree,
@@ -561,6 +576,7 @@ ORACLES = {
     "extract_text_noisy": _O_TEXT,
     "extract_text_per_stage": _O_TEXT,
     "extract_text_hocr_roundtrip": _O_TEXT,
+    "extract_text_adversarial": _O_TEXT,
     "extract_multi_articles": _O_TEXT,
     "extract_article_titles": _O_TITLES,
     "order_paths_agree": _O_ORDER_AGREE,

@@ -68,7 +68,8 @@ def load_parsed_from_json_dir(spark: SparkSession, json_dir: str,
 
 
 def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = None,
-               salt: int = 0, noisy: bool = False, multi_article: bool = False) -> DataFrame:
+               salt: int = 0, noisy: bool = False, multi_article: bool = False,
+               adversarial: bool = False) -> DataFrame:
     """Synthesize the Common-Crawl-shaped ``pages`` table from the driver's
     ``documents`` parquet (no external data), salted-repartitioned for the
     per-document kernels."""
@@ -82,7 +83,8 @@ def load_pages(spark: SparkSession, sf_dir: str, num_partitions: int | None = No
         # sf0.1/local[32]); the salted hash keeps partitions uniform
         num_partitions = spark.sparkContext.defaultParallelism
     docs = salted_repartition(docs, num_partitions, salt=salt, key="doc_id")
-    return pages_from_documents(docs, noisy=noisy, multi_article=multi_article)
+    return pages_from_documents(docs, noisy=noisy, multi_article=multi_article,
+                                adversarial=adversarial)
 
 
 def _resume_done(spark: SparkSession, path: str, resume: bool) -> DataFrame | None:

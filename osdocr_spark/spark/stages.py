@@ -84,19 +84,22 @@ def url_for_doc(doc_id: int) -> str:
 
 
 def pages_from_documents(documents: DataFrame, noisy: bool = False,
-                         multi_article: bool = False) -> DataFrame:
+                         multi_article: bool = False,
+                         adversarial: bool = False) -> DataFrame:
     """``documents(doc_id, text, lang)`` → Common-Crawl-shaped ``pages``
     table (BASELINE.json input_hint schema).  Deterministic: html rendered by
     the seedless arithmetic layout generator; ``warc_ts`` = epoch 2024-01-01
     + doc_id seconds.  ``noisy=True`` injects the OCR-like defects the fix
-    suite must repair (see ``kernels.corpus.generate_page``)."""
+    suite must repair; ``adversarial=True`` renders the irregular-layout
+    gauntlet (see ``kernels.corpus.generate_page``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "url": [url_for_doc(int(d)) for d in pdf["doc_id"]],
                 "warc_ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf["doc_id"], unit="s"),
-                "html": [generate_page(int(d), t, noisy=noisy, multi_article=multi_article)
+                "html": [generate_page(int(d), t, noisy=noisy, multi_article=multi_article,
+                                       adversarial=adversarial)
                          for d, t in zip(pdf["doc_id"], pdf["text"])],
                 "text": pdf["text"],
                 "lang": pdf["lang"],

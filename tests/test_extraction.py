@@ -105,3 +105,75 @@ def test_multi_article_isolation(docs):
             two += 1
             assert p["n_cols"] >= 2
     assert two > 30  # the variant genuinely produces multi-article pages
+
+
+def test_adversarial_byte_parity(docs):
+    """Round-4 gauntlet: all four irregular-layout families (ragged columns,
+    image+caption, vertical text, >127 blocks) still invert byte-exactly."""
+    for doc_id, text in docs:
+        got = extract_html(str(doc_id),
+                           generate_page(doc_id, text, adversarial=True))["text"]
+        assert got == re.sub(r"\s+", " ", text).strip(), f"doc {doc_id}"
+
+
+def _order_and_types(doc_id, text):
+    from osdocr_spark.kernels.classify import boilerplate_mask, categorize_blocks
+    from osdocr_spark.kernels.hocr import parse_hocr
+    from osdocr_spark.kernels.order import (sort_topologic_order,
+                                            topologic_order_context)
+    doc = parse_hocr(generate_page(doc_id, text, adversarial=True),
+                     url=str(doc_id))
+    categorize_blocks(doc)
+    bp = boilerplate_mask(doc)
+    main = [i for i in range(doc.n_blocks()) if not bp[i]]
+    graph = topologic_order_context(doc, main)
+    order = sort_topologic_order(doc, graph, sort_weight=True)
+    return doc, order
+
+
+def test_adversarial_reading_order_goldens(docs):
+    """Reading-order goldens in the reference's acceptable-order-set style
+    (``OSDOCR/tests/reading_order/test_reading_order.py:57-92``: orders are
+    validated by pairwise precedence constraints, not one rigid sequence).
+    Asserted pairwise precedences per variant:
+
+    - figure (v1): the image block precedes its caption (the +50
+      image→caption attraction edge), and the caption is the LAST text-ish
+      main block in the order;
+    - vertical (v2): the vertical-text block precedes every body text block;
+    - dense (v3): the page really exceeds 127 blocks (int32 dominance path)
+      and the order still starts title-first.
+    """
+    import numpy as np
+    checked = {1: 0, 2: 0, 3: 0}
+    for doc_id, text in docs[:80]:
+        v = doc_id % 4
+        if v not in checked:
+            continue
+        doc, order = _order_and_types(doc_id, text)
+        pos = {b: i for i, b in enumerate(order)}
+        types = [doc.b_type[i] for i in range(doc.n_blocks())]
+        if v == 1 and "caption" in types:
+            cap = types.index("caption")
+            imgs = [i for i in order
+                    if doc.block_is_image(i) and types[i] != "delimiter"]
+            assert imgs, f"doc {doc_id}: image lost from order"
+            assert pos[imgs[0]] < pos[cap], f"doc {doc_id}: caption before image"
+            texty = [b for b in order if types[b] in ("text", "title", "caption")]
+            assert texty[-1] == cap, f"doc {doc_id}: caption not last"
+            checked[1] += 1
+        elif v == 2:
+            vert = [i for i in range(doc.n_blocks())
+                    if doc.block_is_vertical_text(i)]
+            if vert:
+                body = [b for b in order
+                        if types[b] == "text" and b not in vert
+                        and doc.b_box[b][0] < 1100]  # exclude rail analogs
+                assert all(pos[vert[0]] < pos[b] for b in body), \
+                    f"doc {doc_id}: vertical block not first body block"
+                checked[2] += 1
+        elif v == 3:
+            assert doc.n_blocks() > 127, f"doc {doc_id}: {doc.n_blocks()} blocks"
+            assert types[order[0]] == "title", f"doc {doc_id}"
+            checked[3] += 1
+    assert all(n > 0 for n in checked.values()), checked
