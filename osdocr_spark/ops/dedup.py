@@ -405,6 +405,91 @@ FROM sel WHERE i >= {WINNOW_W}
 """
 
 
+# --- d_winnow_fast: vectorized Karp-Rabin variant (round 4, VERDICT r3
+# item 4).  ``d_winnow``'s per-doc CPU ceiling is the per-gram
+# ``hashlib.md5`` Python loop; md5 has no batch form, so this variant swaps
+# the gram hash for the winnowing paper's own rolling-polynomial family
+# (Schleimer et al., SIGMOD'03 §5: any uniform hash works) — computed for
+# ALL grams of a doc in ONE numpy matmul over Unicode code points, window
+# minima over packed int64 (hash·10⁸ + pos) keys.  Same narrow plan, same
+# guarantees, exactly re-derived by an unrolled 16-term SQL oracle.
+WINNOW_B = 277           # polynomial base
+WINNOW_MOD = 2147483647  # 2^31 − 1: keeps cp·B^j products < 2^52 (int64-safe)
+_POW_B = [pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_MOD) for j in range(WINNOW_K)]
+_POS_PACK = 100_000_000  # > MAX_DOC_CHARS: (hash, pos) packs into one int64
+
+
+def d_winnow_fast(spark, sf_dir):
+    """Winnowing fingerprints with a vectorized Karp-Rabin gram hash — the
+    scale-path twin of ``d_winnow`` (same K/W, same leftmost-minimum
+    tie-break, same narrow scan→filter→``mapInPandas`` plan) with the
+    per-gram Python md5 loop replaced by one ``sliding_window_view`` matmul
+    per doc: hashᵢ = Σⱼ cp[i+j]·B^(K−1−j) mod (2³¹−1) over code points
+    (``utf-32-le`` decode, so DuckDB's char-indexed ``ord(substring(…))``
+    sees identical values), window minima over hash·10⁸+pos packed keys.
+    Measured 4.5× the md5 kernel's single-core gram throughput (sf0.01
+    corpus, 5-rep min; NOTES.md round-4 profile)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    min_len = WINNOW_K + WINNOW_W - 1
+    d = (_docs(spark, sf_dir)
+         .where(F.length("text") >= min_len)
+         .select("doc_id", "text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        powers = np.array(_POW_B, dtype=np.int64)
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cp = np.frombuffer(text.encode("utf-32-le"),
+                                   dtype=np.uint32).astype(np.int64)
+                h = (swv(cp, WINNOW_K) @ powers) % WINNOW_MOD
+                keys = h * _POS_PACK + np.arange(1, len(h) + 1, dtype=np.int64)
+                sel = np.unique(swv(keys, WINNOW_W).min(axis=1))
+                out.append(pd.DataFrame({
+                    "doc_id": np.full(len(sel), int(doc_id), dtype=np.int64),
+                    "fp": sel // _POS_PACK,
+                    "pos": (sel % _POS_PACK).astype(np.int32)}))
+            yield (pd.concat(out, ignore_index=True) if out
+                   else pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                      "fp": pd.Series(dtype="int64"),
+                                      "pos": pd.Series(dtype="int32")}))
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("fp", T.LongType()),
+                           T.StructField("pos", T.IntegerType())])
+    return d.mapInPandas(run, schema)
+
+
+_KR_HASH_SQL = "(" + " + ".join(
+    f"CAST(ord(substring(text, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+    for j, p in enumerate(_POW_B)
+) + f") % {WINNOW_MOD}"
+
+_O_WINNOW_FAST = f"""
+WITH keyed AS (
+  SELECT doc_id, i,
+         ({_KR_HASH_SQL}) * {_POS_PACK} + i AS k
+  FROM documents, range(1, {MAX_DOC_CHARS}) r(i)
+  WHERE strlen(text) >= {WINNOW_K + WINNOW_W - 1}
+    AND i <= strlen(text) - {WINNOW_K} + 1),
+sel AS (
+  SELECT doc_id, i,
+         MIN(k) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM keyed)
+SELECT DISTINCT doc_id,
+       s // {_POS_PACK} AS fp,
+       CAST(s % {_POS_PACK} AS INT) AS pos
+FROM sel WHERE i >= {WINNOW_W}
+"""
+
+
 WINNOW_PAIR_MIN = 2    # pairs must share ≥ this many fingerprints
 FP_CAP = 100           # fingerprints shared by more docs are floods, skipped
 
@@ -558,6 +643,7 @@ QUERIES = {
     "d_cc_clusters": d_cc_clusters,
     "d_cc_sizes": d_cc_sizes,
     "d_winnow": d_winnow,
+    "d_winnow_fast": d_winnow_fast,
     "d_winnow_pairs": d_winnow_pairs,
 }
 
@@ -573,4 +659,5 @@ ORACLES = {
     "d_cc_clusters": _O_CC,
     "d_cc_sizes": _O_CC_SIZES,
     "d_winnow": _O_WINNOW,
+    "d_winnow_fast": _O_WINNOW_FAST,
 }
