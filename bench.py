@@ -36,8 +36,11 @@ HEADLINE = [
     "s_ann_ivf",
     "t_quality",
     # added r3 (absent keys in earlier BENCH_r{N}.json simply don't compare):
-    "d_winnow",     # reshaped this round: narrow kernel, no per-gram shuffle
-    "v_calibrate",  # new family: config sweep + score mix
+    "d_winnow",     # reshaped r3: narrow kernel, no per-gram shuffle
+    "v_calibrate",  # new family r3: config sweep + score mix
+    # added r4:
+    "d_winnow_fast",           # vectorized Karp-Rabin twin of d_winnow
+    "extract_journal_template",  # journal_template_to_text port
 ]
 
 
@@ -106,6 +109,85 @@ def _quick_canary() -> float:
     return round(best, 2)
 
 
+def _prev_round_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root (the prior round's record)."""
+    import glob
+    import re as _re
+    cands = sorted(glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    if not cands:
+        return None
+    with open(cands[-1]) as f:
+        j = json.load(f)
+    # the driver records bench stdout under a "parsed" wrapper
+    if "queries" not in j and isinstance(j.get("parsed"), dict):
+        j = j["parsed"]
+    return os.path.basename(cands[-1]), j
+
+
+def _normalized_deltas(timings: dict, canary: float) -> dict | None:
+    """Per-query deltas vs the prior round, raw AND canary-normalized
+    (round 4, VERDICT r3 item 6): normalized = raw seconds scaled to the
+    prior round's box speed (cur_s × canary_cur / canary_prev — the canary
+    is a rate, so a slower box this round deflates the normalized time).
+    Rows whose raw delta is box drift self-classify as ≈0% normalized."""
+    prev = _prev_round_bench()
+    if not prev:
+        return None
+    src, pj = prev
+    pq = pj.get("queries") or {}
+    pc = pj.get("cpu_canary_per_proc")
+    if not pq or not pc:
+        return {"source": src, "note": "prior round lacks canary; raw only"}
+    raw, norm = {}, {}
+    for name, cur_s in timings.items():
+        if name in pq and pq[name]:
+            raw[name] = round((cur_s / pq[name] - 1) * 100, 1)
+            norm[name] = round((cur_s * canary / pc / pq[name] - 1) * 100, 1)
+    return {"source": src, "canary_prev": pc, "canary_cur": canary,
+            "delta_raw_pct": raw, "delta_normalized_pct": norm}
+
+
+_NORM_MARKER = "## Headline normalization vs prior round"
+
+
+def _write_normalized_table(vs_prev: dict | None, timings: dict) -> None:
+    """Maintain a canary-normalized per-query table in BENCH/BASELINE.md
+    (idempotent section replace; scaling() rewrites the file wholesale and
+    the next bench() run re-appends this section)."""
+    if not vs_prev or "delta_normalized_pct" not in vs_prev:
+        return
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    body = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            body = f.read()
+        if _NORM_MARKER in body:
+            body = body[: body.index(_NORM_MARKER)].rstrip() + "\n"
+    rows = "\n".join(
+        f"| {n} | {timings[n]} | {vs_prev['delta_raw_pct'][n]:+} | "
+        f"{vs_prev['delta_normalized_pct'][n]:+} |"
+        for n in timings if n in vs_prev["delta_normalized_pct"])
+    with open(path, "w") as f:
+        f.write(body + f"""
+{_NORM_MARKER}
+
+Raw per-query seconds across rounds conflate code changes with this shared
+VM's delivered per-core speed; the normalized column rescales this round's
+seconds to the prior round's box speed via the single-proc md5 canary
+(cur_s × {vs_prev['canary_cur']} / {vs_prev['canary_prev']}, vs
+{vs_prev['source']}).  A row whose raw delta is box drift self-classifies
+as ≈0% normalized; only normalized movement indicates changed code.
+
+| query | this round (s) | Δraw % | Δ normalized % |
+| --- | --- | --- | --- |
+{rows}
+""")
+
+
 def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     import __spark_entry__ as E
     canary = _quick_canary()
@@ -161,12 +243,14 @@ def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
                          "suite-warm); reps now interleave across queries.",
         },
         "cpu_canary_per_proc": canary,
+        "vs_prev_round": _normalized_deltas(timings, canary),
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "docs": n_docs,
         "extract_docs_per_sec": round(n_docs / timings["extract_text"], 1)
         if timings.get("extract_text") else None,
     }
+    _write_normalized_table(out["vs_prev_round"], timings)
     return out
 
 
