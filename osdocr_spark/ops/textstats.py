@@ -386,47 +386,54 @@ LIMIT {NGRAM_TOPK}
 
 FRAME_STRIDE = 1024   # byte stride between sampled "frames"
 MAX_FRAMES = 4
-THUMB_BYTES = 16
+from ..kernels.media import THUMB_BYTES  # noqa: E402 — seam owns the stub constant
 
 
-def m_frame_sample(spark, sf_dir):
-    """Multimodal frame-sampling stub: treat each document's bytes as an
-    opaque video payload and sample up to 4 frames at a fixed 1024-byte
-    stride.  The frame *decode* is deliberately stubbed (media libs absent)
-    to a deterministic 16-byte hex "thumbnail" slice; the Spark plumbing —
-    binary column in, Arrow-batched ``mapInPandas`` UDTF-shape out (one
-    payload row → N frame rows), typed offsets — is the real production
-    shape for per-frame feature extraction."""
+def m_frame_sample(spark, sf_dir, decoder=None):
+    """Multimodal frame sampling: treat each document's bytes as an opaque
+    video payload, sample up to 4 frames at a fixed 1024-byte stride, and
+    hand each frame slice to the pluggable decoder seam
+    (:mod:`osdocr_spark.kernels.media` — callable contract, error policy
+    and schema contract documented there).  Default decoder is the
+    deterministic sandbox stub (16-byte hex "thumbnail"; media libs
+    absent); a real deployment injects a codec adapter and the stage is
+    unchanged.  Output = plumbing (doc_id, frame_idx, byte_offset) +
+    the decoder's declared feature columns + ``decode_ok`` (a record the
+    decoder rejects via ``MediaDecodeError`` keeps its plumbing row with
+    NULL features — countable, re-drivable, never silently dropped)."""
     import pandas as pd
-    from pyspark.sql import types as T
+
+    from ..kernels.media import MediaDecodeError, StubFrameDecoder
+
+    dec = decoder if decoder is not None else StubFrameDecoder()
+    feat = dec.fields()
+    cols = (["doc_id", "frame_idx", "byte_offset"]
+            + [n for n, _ in feat] + ["decode_ok"])
+    ddl = ("doc_id bigint, frame_idx int, byte_offset bigint, "
+           + ", ".join(f"{n} {t}" for n, t in feat) + ", decode_ok boolean")
 
     d = _docs(spark, sf_dir).select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def run(batches):
         for pdf in batches:
-            ids, idxs, offs, thumbs = [], [], [], []
+            rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
                 for i in range(MAX_FRAMES):
                     off = i * FRAME_STRIDE
                     if off >= len(buf):
                         break
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    offs.append(off)
-                    # stubbed decode: a real pipeline would hand buf[off:...]
-                    # to an image/video codec here
-                    thumbs.append(buf[off:off + THUMB_BYTES].hex().upper())
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
-                                "byte_offset": offs, "thumb": thumbs})
+                    try:
+                        fs = dec.decode(buf[off:off + FRAME_STRIDE], off)
+                        row_feats = [fs[n] for n, _ in feat]
+                        ok = True
+                    except MediaDecodeError:
+                        row_feats = [None] * len(feat)
+                        ok = False
+                    rows.append([int(doc_id), i, off] + row_feats + [ok])
+            yield pd.DataFrame(rows, columns=cols)
 
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("byte_offset", T.LongType()),
-        T.StructField("thumb", T.StringType()),
-    ])
-    return d.mapInPandas(run, schema)
+    return d.mapInPandas(run, ddl)
 
 
 # documents are all-ASCII (octet_length(encode(text)) = strlen(text) holds
@@ -435,7 +442,8 @@ _O_FRAMES = f"""
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
        i * {FRAME_STRIDE} AS byte_offset,
-       hex(encode(substring(text, i * {FRAME_STRIDE} + 1, {THUMB_BYTES}))) AS thumb
+       hex(encode(substring(text, i * {FRAME_STRIDE} + 1, {THUMB_BYTES}))) AS thumb,
+       TRUE AS decode_ok
 FROM documents, range(0, {MAX_FRAMES}) r(i)
 WHERE i * {FRAME_STRIDE} < strlen(text)
 """
@@ -446,24 +454,34 @@ AUDIO_HOP = 512    # hop (50% overlap — the standard STFT framing shape)
 MAX_CHUNKS = 6
 
 
-def m_audio_chunks(spark, sf_dir):
+def m_audio_chunks(spark, sf_dir, decoder=None):
     """Multimodal audio stub: treat each document's bytes as an opaque PCM
     payload and frame it into OVERLAPPING analysis windows (1024-byte
     window, 512-byte hop — the STFT framing every audio featurizer uses;
     distinct from ``m_frame_sample``'s disjoint video strides).  The
-    spectral decode is deliberately stubbed (audio libs absent) to a
-    deterministic per-window byte checksum standing in for energy; the
-    Spark plumbing — binary column in, UDTF-shaped ``mapInPandas`` out
-    (one payload → N overlapping windows), typed offsets — is the real
-    production shape for windowed feature extraction."""
+    spectral decode goes through the same pluggable seam as
+    ``m_frame_sample`` (:mod:`osdocr_spark.kernels.media`), defaulting to
+    the deterministic byte-checksum stub (audio libs absent); the Spark
+    plumbing — binary column in, UDTF-shaped ``mapInPandas`` out (one
+    payload → N overlapping windows), typed offsets, per-record
+    ``decode_ok`` error policy — is the real production shape for windowed
+    feature extraction."""
     import pandas as pd
-    from pyspark.sql import types as T
+
+    from ..kernels.media import MediaDecodeError, StubAudioDecoder
+
+    dec = decoder if decoder is not None else StubAudioDecoder()
+    feat = dec.fields()
+    cols = (["doc_id", "chunk_idx", "byte_offset", "n_bytes"]
+            + [n for n, _ in feat] + ["decode_ok"])
+    ddl = ("doc_id bigint, chunk_idx int, byte_offset bigint, n_bytes int, "
+           + ", ".join(f"{n} {t}" for n, t in feat) + ", decode_ok boolean")
 
     d = _docs(spark, sf_dir).select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def run(batches):
         for pdf in batches:
-            ids, idxs, offs, lens, en = [], [], [], [], []
+            rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
                 for i in range(MAX_CHUNKS):
@@ -471,25 +489,17 @@ def m_audio_chunks(spark, sf_dir):
                     if off >= len(buf):
                         break
                     w = buf[off:off + AUDIO_WIN]
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    offs.append(off)
-                    lens.append(len(w))
-                    # stubbed decode: a real pipeline would hand w to an
-                    # FFT here; the deterministic stand-in is the byte sum
-                    en.append(sum(w))
-            yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs,
-                                "byte_offset": offs, "n_bytes": lens,
-                                "energy_stub": en})
+                    try:
+                        fs = dec.decode(w, off)
+                        row_feats = [fs[n] for n, _ in feat]
+                        ok = True
+                    except MediaDecodeError:
+                        row_feats = [None] * len(feat)
+                        ok = False
+                    rows.append([int(doc_id), i, off, len(w)] + row_feats + [ok])
+            yield pd.DataFrame(rows, columns=cols)
 
-    schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("chunk_idx", T.IntegerType()),
-        T.StructField("byte_offset", T.LongType()),
-        T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("energy_stub", T.LongType()),
-    ])
-    return d.mapInPandas(run, schema)
+    return d.mapInPandas(run, ddl)
 
 
 # all-ASCII corpus: char offsets == byte offsets; energy = sum of code units
@@ -505,7 +515,8 @@ chunks AS (
 SELECT c.doc_id, c.i AS chunk_idx,
        CAST(c.i * {AUDIO_HOP} AS BIGINT) AS byte_offset,
        CAST(LEAST({AUDIO_WIN}, c.L - c.i * {AUDIO_HOP}) AS INT) AS n_bytes,
-       CAST(SUM(p.v) AS BIGINT) AS energy_stub
+       CAST(SUM(p.v) AS BIGINT) AS energy_stub,
+       TRUE AS decode_ok
 FROM chunks c JOIN pos p ON p.doc_id = c.doc_id
      AND p.j > c.i * {AUDIO_HOP} AND p.j <= c.i * {AUDIO_HOP} + {AUDIO_WIN}
 GROUP BY 1, 2, 3, 4
