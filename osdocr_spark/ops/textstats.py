@@ -531,12 +531,17 @@ QUERIES = {
     "t_clean_text": t_clean_text,
     "t_bigram_lm": t_bigram_lm,
     "t_char_entropy": t_char_entropy,
-    "t_stratified_sample": t_stratified_sample,
+    # m_audio_chunks sits ahead of t_stratified_sample so the whole
+    # round-4-touched set (decode_ok schema + _bounds-derived oracles) stays
+    # inside the driver's 50-entry correctness cap; t_stratified_sample is
+    # untouched since round 2 with green rows in both r2 and r3 and keeps
+    # its standing pytest parity check past the cap.
+    "m_audio_chunks": m_audio_chunks,
     "t_ngram_topk": t_ngram_topk,
     "t_repetition": t_repetition,
     "m_media_meta": m_media_meta,
     "m_frame_sample": m_frame_sample,
-    "m_audio_chunks": m_audio_chunks,
+    "t_stratified_sample": t_stratified_sample,
 }
 
 ORACLES = {
