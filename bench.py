@@ -41,6 +41,7 @@ HEADLINE = [
     # added r4:
     "d_winnow_fast",           # vectorized Karp-Rabin twin of d_winnow
     "extract_journal_template",  # journal_template_to_text port
+    "extract_text_adversarial",  # irregular-layout gauntlet (r4 headline)
 ]
 
 
