@@ -42,6 +42,15 @@ NOTES = {
     "v_calibrate": "3-row config sweep broadcast against the corpus; "
     "per-doc scores reduce to BIGINT sums in one aggregation; the argmax "
     "window sees 3 rows.",
+    "d_winnow_fast": "Same narrow shape as d_winnow (scan → length filter "
+    "→ mapInPandas); the vectorized Karp-Rabin gram hash changes only the "
+    "kernel's per-doc CPU, never the plan.",
+    "extract_text_adversarial": "Identical plan to the flagship — the "
+    "irregular-layout synthesis lives inside the same fused Arrow stage, "
+    "so robustness costs zero extra exchanges.",
+    "extract_journal_template": "One fused Arrow stage over the scan "
+    "(template derivation + section dump per doc); explode to section "
+    "rows is narrow — no shuffle beyond the input split.",
 }
 
 MAX_LINES = 16
