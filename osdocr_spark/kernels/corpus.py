@@ -343,8 +343,8 @@ def generate_page(doc_id: int, text: str, noisy: bool = False,
 
 
 def generate_page_adversarial(doc_id: int, text: str) -> bytes:
-    """Irregular-layout gauntlet (round 4): four deterministic layout
-    families, by ``doc_id % 4``, each still an exact inverse of the source
+    """Irregular-layout gauntlet (round 4): five deterministic layout
+    families, by ``doc_id % 5``, each still an exact inverse of the source
     text (the driver oracle stays the byte-parity ``_O_TEXT``) while
     exercising geometry/attraction branches the regular generator never
     reaches (r3 VERDICT item 1):
@@ -365,11 +365,16 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
     - **3 dense** — regular layout plus a 130-block marginalia rail: total
       block count exceeds 127, locking in the int32 dominance-matmul path
       (``neighbors.py:147``) that smaller fixtures never reach.
+    - **4 composed** — everything at once (round-4 robustness insurance):
+      ragged column widths AND a vertical-text block at the top of column 0
+      AND an image+caption at the bottom of the last column AND the
+      130-block dense rail — the adversities are proven independently by
+      variants 0–3; this family proves they don't interact.
 
     Fallbacks (too few words for a variant's reservation) degrade to the
     regular lines-balanced fill — still byte-exact, just less adversarial.
     """
-    variant = doc_id % 4
+    variant = doc_id % 5
     words = text.split(" ")
     p = layout_params(doc_id, len(words))
     s, cw = p["size"], p["char_w"]
@@ -394,13 +399,16 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
     vertical_word: str | None = None
     fill_words = body_words
     eq_col_w = (span - (n_cols - 1) * GUTTER) // n_cols
-    if variant == 1 and len(body_words) >= 6:
-        fill_words, caption_words = body_words[:-3], body_words[-3:]
-    elif variant == 2 and len(body_words) >= 2 \
-            and len(body_words[0]) * cw * 3 <= eq_col_w:
-        vertical_word, fill_words = body_words[0], body_words[1:]
+    # composed (v4) takes BOTH reservations; the vertical fit check uses the
+    # equal width even under ragged columns — col 0 is the WIDEST ragged
+    # column (weights n_cols..1), so the check is conservative
+    if variant in (2, 4) and len(fill_words) >= 2 \
+            and len(fill_words[0]) * cw * 3 <= eq_col_w:
+        vertical_word, fill_words = fill_words[0], fill_words[1:]
+    if variant in (1, 4) and len(fill_words) >= 6:
+        fill_words, caption_words = fill_words[:-3], fill_words[-3:]
 
-    if variant == 0 and n_cols >= 2:
+    if variant in (0, 4) and n_cols >= 2:
         # ragged: integer widths by weight n_cols..1, last takes remainder
         wsum = n_cols * (n_cols + 1) // 2
         usable = span - (n_cols - 1) * GUTTER
@@ -468,7 +476,7 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
     em.block([foot], MARGIN, body_bottom + 60, HEADER_SIZE, HEADER_CW, link=True)
 
     if fill_words:
-        n_rail = 130 if variant == 3 else 3 + len(words) // 12
+        n_rail = 130 if variant in (3, 4) else 3 + len(words) // 12
         for i in range(n_rail):
             em.block([[_NAV[(doc_id + 3 + i) % len(_NAV)]]], RAIL_X,
                      y_body + i * 2 * s, s, cw, link=True)

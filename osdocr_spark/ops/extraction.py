@@ -107,12 +107,13 @@ def extract_text_hocr_roundtrip(spark, sf_dir):
 
 def extract_text_adversarial(spark, sf_dir):
     """Irregular-layout gauntlet (round 4, VERDICT r3 item 1): pages render
-    through ``kernels.corpus.generate_page_adversarial`` — four layout
-    families by doc_id%4 (ragged unequal columns; an image block with a
+    through ``kernels.corpus.generate_page_adversarial`` — five layout
+    families by doc_id%5 (ragged unequal columns; an image block with a
     caption directly below it, exercising the image→caption +50 attraction,
     ``ocr_tree_analyser.py:1618-1625``; a vertical-text block,
     ``ocr_tree.py:613-657``; a >127-block page locking in the int32
-    dominance path) — and extraction must STILL return the byte-identical
+    dominance path; and a composed family with all four adversities on one
+    page) — and extraction must STILL return the byte-identical
     normalized source text.  This drives the attraction/classification
     branches the regular fixture's layout family never reaches."""
     return (extract_pages(load_pages(spark, sf_dir, adversarial=True))

@@ -108,8 +108,9 @@ def test_multi_article_isolation(docs):
 
 
 def test_adversarial_byte_parity(docs):
-    """Round-4 gauntlet: all four irregular-layout families (ragged columns,
-    image+caption, vertical text, >127 blocks) still invert byte-exactly."""
+    """Round-4 gauntlet: all five irregular-layout families (ragged columns,
+    image+caption, vertical text, >127 blocks, and the composed
+    all-at-once family) still invert byte-exactly."""
     for doc_id, text in docs:
         got = extract_html(str(doc_id),
                            generate_page(doc_id, text, adversarial=True))["text"]
@@ -142,12 +143,14 @@ def test_adversarial_reading_order_goldens(docs):
       main block in the order;
     - vertical (v2): the vertical-text block precedes every body text block;
     - dense (v3): the page really exceeds 127 blocks (int32 dominance path)
-      and the order still starts title-first.
+      and the order still starts title-first;
+    - composed (v4): the adversities hold SIMULTANEOUSLY — vertical block
+      first among body text, caption last, >127 blocks, title-first.
     """
     import numpy as np
-    checked = {1: 0, 2: 0, 3: 0}
-    for doc_id, text in docs[:80]:
-        v = doc_id % 4
+    checked = {1: 0, 2: 0, 3: 0, 4: 0}
+    for doc_id, text in docs[:100]:
+        v = doc_id % 5
         if v not in checked:
             continue
         doc, order = _order_and_types(doc_id, text)
@@ -176,4 +179,25 @@ def test_adversarial_reading_order_goldens(docs):
             assert doc.n_blocks() > 127, f"doc {doc_id}: {doc.n_blocks()} blocks"
             assert types[order[0]] == "title", f"doc {doc_id}"
             checked[3] += 1
+        elif v == 4:
+            assert doc.n_blocks() > 127, f"doc {doc_id}: {doc.n_blocks()} blocks"
+            assert types[order[0]] == "title", f"doc {doc_id}"
+            vert = [i for i in range(doc.n_blocks())
+                    if doc.block_is_vertical_text(i)]
+            if vert:
+                body = [b for b in order
+                        if types[b] == "text" and b not in vert
+                        and doc.b_box[b][0] < 1100]
+                assert all(pos[vert[0]] < pos[b] for b in body), \
+                    f"doc {doc_id}: vertical block not first body block"
+            if "caption" in types:
+                cap = types.index("caption")
+                texty = [b for b in order
+                         if types[b] in ("text", "title", "caption")
+                         and doc.b_box[b][0] < 1100]
+                assert texty[-1] == cap, f"doc {doc_id}: caption not last"
+            # composed = at least one of the two hard adversities landed
+            # (both can degrade on short docs per the generator fallbacks)
+            if vert or "caption" in types:
+                checked[4] += 1
     assert all(n > 0 for n in checked.values()), checked
