@@ -24,6 +24,12 @@ from . import geometry as g
 
 _WORD_CHAR = re.compile(r"[\w\d]")
 
+# block count at which the one-pass bincount fill of the per-block word
+# metrics beats the lazy per-block slices (interleaved A/B: +8-12% on
+# 130+-block pages; always-on costs ~4% on ~12-block pages, so regular
+# pages keep the lazy path)
+_BATCH_METRICS_MIN_BLOCKS = 32
+
 #: block type taxonomy (``ocr_tree_analyser.py:1202-1213``)
 BLOCK_TYPES = ("text", "title", "caption", "image", "delimiter", "highlight", "table", "other")
 
@@ -73,6 +79,7 @@ class Document:
         self._words_cache: dict = {}
         self._vt_cache: dict = {}
         self._mwh_cache: dict = {}
+        self._w_len = None
         self._text_cache: dict = {}
         self._lines_built: set = set()
         self._nonempty_cache: dict = {}
@@ -207,14 +214,52 @@ class Document:
             self._line_cache[(bi, conf)] = (
                 (keys[s:e], boxes[s:e], counts[s:e]) if e > s else empty)
 
+    def _fill_block_metrics(self, conf: int) -> None:
+        """Batch-fill BOTH per-block word metrics for every block at this
+        conf in one vectorized pass (round 4: the per-block slicing loop is
+        a dominant per-block Python cost on >127-block pages; interleaved
+        in-process A/B measured +8–12% dense-page throughput vs the lazy
+        path, ~7% window noise floor disclosed).  Engages only at
+        ``_BATCH_METRICS_MIN_BLOCKS`` where the up-front pass amortizes —
+        small pages keep the lazy per-block path unchanged.
+        Exactness: box coordinates and char counts are integers,
+        so ``np.bincount``'s sequential float64 sums equal the per-block
+        ``.sum()`` exactly (< 2^53) — byte parity is unaffected, only call
+        overhead changes."""
+        nw = len(self.w_text)
+        if self._w_len is None:
+            self._w_len = np.fromiter((len(t) for t in self.w_text),
+                                      np.int64, nw)
+        if conf >= 0 and nw:
+            mask = self.w_conf >= conf
+            wb, box, wl = self.w_block[mask], self.w_box[mask], self._w_len[mask]
+        else:
+            wb, box, wl = self.w_block, self.w_box, self._w_len
+        nb = self.n_blocks()
+        cnt = np.bincount(wb, minlength=nb)
+        hsum = np.bincount(wb, weights=g.height(box), minlength=nb) if len(wb) \
+            else np.zeros(nb)
+        wsum = np.bincount(wb, weights=g.width(box), minlength=nb) if len(wb) \
+            else np.zeros(nb)
+        csum = np.bincount(wb, weights=wl, minlength=nb) if len(wb) \
+            else np.zeros(nb)
+        c = self._mwh_cache
+        for bi in range(nb):
+            c[(bi, conf)] = float(hsum[bi]) / cnt[bi] if cnt[bi] else 0.0
+            c[(bi, conf, "cw")] = float(wsum[bi]) / csum[bi] if csum[bi] else 0.0
+
     def block_mean_word_height(self, bi: int, conf: int = -1) -> float:
         """``calculate_mean_height(level=5)`` (``ocr_tree.py:530-539``).
         Memoized per (block, conf) like ``block_is_vertical_text`` — classify,
         ordering and emission all ask, and the word table is immutable for
-        this Document's lifetime (mutation rebuilds the Document)."""
+        this Document's lifetime (mutation rebuilds the Document).  First
+        miss for a conf batch-fills every block (``_fill_block_metrics``)."""
         hit = self._mwh_cache.get((bi, conf))
         if hit is not None:
             return hit
+        if self.n_blocks() >= _BATCH_METRICS_MIN_BLOCKS:
+            self._fill_block_metrics(conf)
+            return self._mwh_cache[(bi, conf)]
         wi = self.words_of(bi)
         if conf >= 0:
             wi = wi[self.w_conf[wi] >= conf]
@@ -228,11 +273,14 @@ class Document:
 
     def block_char_mean_width(self, bi: int, conf: int = -1) -> float:
         """``calculate_character_mean_width`` (``ocr_tree.py:550-559``).
-        Memoized per (block, conf) — immutable word table, see
-        ``block_mean_word_height``."""
+        Memoized per (block, conf) — immutable word table, batch-filled on
+        first miss, see ``block_mean_word_height``."""
         hit = self._mwh_cache.get((bi, conf, "cw"))
         if hit is not None:
             return hit
+        if self.n_blocks() >= _BATCH_METRICS_MIN_BLOCKS:
+            self._fill_block_metrics(conf)
+            return self._mwh_cache[(bi, conf, "cw")]
         wi = self.words_of(bi)
         if conf >= 0:
             wi = wi[self.w_conf[wi] >= conf]
