@@ -367,9 +367,10 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
       (``neighbors.py:147``) that smaller fixtures never reach.
     - **4 composed** — everything at once (round-4 robustness insurance):
       ragged column widths AND a vertical-text block at the top of column 0
-      AND an image+caption at the bottom of the last column AND the
-      130-block dense rail — the adversities are proven independently by
-      variants 0–3; this family proves they don't interact.
+      AND an image+caption at the bottom of the last column AND a 260-block
+      rail (>255 total blocks, past any uint8 wrap) — the adversities are
+      proven independently by variants 0–3; this family proves they don't
+      interact.
 
     Fallbacks (too few words for a variant's reservation) degrade to the
     regular lines-balanced fill — still byte-exact, just less adversarial.
@@ -476,7 +477,10 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
     em.block([foot], MARGIN, body_bottom + 60, HEADER_SIZE, HEADER_CW, link=True)
 
     if fill_words:
-        n_rail = 130 if variant in (3, 4) else 3 + len(words) // 12
+        # dense rail: 130 blocks pins >127 (int8 wrap, neighbors.py int32
+        # fix); composed goes past 255 to also pin beyond any uint8 wrap —
+        # cheap insurance, the dominance matmul is int32 to 2^31
+        n_rail = {3: 130, 4: 260}.get(variant, 3 + len(words) // 12)
         for i in range(n_rail):
             em.block([[_NAV[(doc_id + 3 + i) % len(_NAV)]]], RAIL_X,
                      y_body + i * 2 * s, s, cw, link=True)
