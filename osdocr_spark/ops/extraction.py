@@ -285,6 +285,12 @@ _NAV_LEN_SQL = "[" + ",".join(
                           "contact", "about", "privacy", "terms", "sitemap")
 ) + "]"
 
+# Nav-word rotation modulus: derived from the generator vocabulary so
+# growing corpus._NAV cannot silently desynchronize the oracles (ADVICE r4;
+# the array-content coupling is tripwired by test_nav_vocab_literals_...).
+from ..kernels.corpus import _NAV as _NAV_VOCAB  # noqa: E402
+_NAV_MOD = len(_NAV_VOCAB)
+
 _O_WRAP_PREFIX = f"""
 WITH RECURSIVE
 lay AS (
@@ -482,12 +488,12 @@ bot AS (
   LEFT JOIN bbottom bb USING (doc_id)),
 navlen AS (
   SELECT doc_id,
-         ({_NAV_LEN_SQL})[CAST(doc_id % 10 AS INT) + 1]
-           + ({_NAV_LEN_SQL})[CAST((doc_id + 1) % 10 AS INT) + 1]
-           + ({_NAV_LEN_SQL})[CAST((doc_id + 2) % 10 AS INT) + 1] AS nav_chars,
-         ({_NAV_LEN_SQL})[CAST((doc_id + 5) % 10 AS INT) + 1]
-           + ({_NAV_LEN_SQL})[CAST((doc_id + 6) % 10 AS INT) + 1]
-           + ({_NAV_LEN_SQL})[CAST((doc_id + 7) % 10 AS INT) + 1] AS foot_chars
+         ({_NAV_LEN_SQL})[CAST(doc_id % {_NAV_MOD} AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 1) % {_NAV_MOD} AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 2) % {_NAV_MOD} AS INT) + 1] AS nav_chars,
+         ({_NAV_LEN_SQL})[CAST((doc_id + 5) % {_NAV_MOD} AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 6) % {_NAV_MOD} AS INT) + 1]
+           + ({_NAV_LEN_SQL})[CAST((doc_id + 7) % {_NAV_MOD} AS INT) + 1] AS foot_chars
   FROM lay3),
 out AS (
   -- nav block (id 0)
@@ -533,7 +539,7 @@ out AS (
   -- link words at left RAIL_X = 1100, stacked at 2s pitch from y_body
   SELECT l.url, CAST(2 + c.nb + l.n_cols + ri AS INT), 'text',
          1100,
-         CAST(1100 + ({_NAV_LEN_SQL})[CAST((l.doc_id + 3 + ri) % 10 AS INT) + 1] * l.cw AS INT),
+         CAST(1100 + ({_NAV_LEN_SQL})[CAST((l.doc_id + 3 + ri) % {_NAV_MOD} AS INT) + 1] * l.cw AS INT),
          CAST(b.y_body + ri * 2 * l.s AS INT),
          CAST(b.y_body + ri * 2 * l.s + l.s AS INT),
          1, 1, 1.0, CAST(l.s AS DOUBLE), l.doc_id
@@ -611,9 +617,9 @@ cols AS (
   WHERE s.stream = 0 AND s.word_idx IS NOT NULL
   GROUP BY 1, 2)
 SELECT url, 'header' AS section,
-       ({_NAV_SQL})[CAST(doc_id % 10 AS INT) + 1] || ' ' ||
-       ({_NAV_SQL})[CAST((doc_id + 1) % 10 AS INT) + 1] || ' ' ||
-       ({_NAV_SQL})[CAST((doc_id + 2) % 10 AS INT) + 1] || ' ' ||
+       ({_NAV_SQL})[CAST(doc_id % {_NAV_MOD} AS INT) + 1] || ' ' ||
+       ({_NAV_SQL})[CAST((doc_id + 1) % {_NAV_MOD} AS INT) + 1] || ' ' ||
+       ({_NAV_SQL})[CAST((doc_id + 2) % {_NAV_MOD} AS INT) + 1] || ' ' ||
        array_to_string(ws[1:title_n], ' ') AS text
 FROM lay3
 UNION ALL
@@ -621,9 +627,9 @@ SELECT l.url, 'column_' || CAST(c.ci AS VARCHAR) AS section, c.txt AS text
 FROM cols c JOIN lay3 l USING (doc_id)
 UNION ALL
 SELECT url, 'footer' AS section,
-       ({_NAV_SQL})[CAST((doc_id + 5) % 10 AS INT) + 1] || ' ' ||
-       ({_NAV_SQL})[CAST((doc_id + 6) % 10 AS INT) + 1] || ' ' ||
-       ({_NAV_SQL})[CAST((doc_id + 7) % 10 AS INT) + 1] AS text
+       ({_NAV_SQL})[CAST((doc_id + 5) % {_NAV_MOD} AS INT) + 1] || ' ' ||
+       ({_NAV_SQL})[CAST((doc_id + 6) % {_NAV_MOD} AS INT) + 1] || ' ' ||
+       ({_NAV_SQL})[CAST((doc_id + 7) % {_NAV_MOD} AS INT) + 1] AS text
 FROM lay3
 """
 

@@ -373,7 +373,7 @@ _O_NGRAM_TOPK = f"""
 WITH grams AS (
   SELECT doc_id, array_to_string(sp[i + 1 : i + {NGRAM_N}], ' ') AS gram
   FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-       range(0, {MAX_DOC_CHARS}) r(i)
+       range(0, {MAX_DOC_TOKENS}) r(i)
   WHERE len(sp) >= {NGRAM_N} AND i <= len(sp) - {NGRAM_N})
 SELECT gram,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences,

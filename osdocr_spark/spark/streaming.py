@@ -270,13 +270,25 @@ def stream_simhash_dups(spark: SparkSession, pages_dir: str, out_dir: str,
     check), so below the cap the emitted pair set is arrival-order
     independent.  A pair whose signatures agree on SEVERAL chunks would
     match in several band buckets; each bucket emits only if no LOWER band's
-    chunks also agree (both full signatures are in state, so the check is
-    local) — every qualifying pair is emitted EXACTLY once, from its lowest
-    matching band (ADVICE r3 item 1: the old per-band multiplicity made a
-    pair-counting consumer over-count).  State per bucket is capped at
-    ``bucket_cap`` members (the flood guard; beyond it the bucket stops
-    admitting — documented coverage bound).  At scale the state store shards
-    by bucket key."""
+    chunks also agree — BELOW the cap both full signatures are in that
+    lower bucket's state, so every qualifying pair is emitted EXACTLY once,
+    from its lowest matching band (ADVICE r3 item 1: the old per-band
+    multiplicity made a pair-counting consumer over-count).
+
+    Flood-cap semantics (ADVICE r4): state per bucket is capped at
+    ``bucket_cap`` members; a full bucket stops ADMITTING but keeps
+    COMPARING — an overflow arrival is still checked against every admitted
+    member and emits its pairs here when this is the pair's lowest agreeing
+    band (compare-but-not-store).  Exactly-once thus degrades under flood
+    to at-most-once, never duplicated: a pair is silently dropped only when
+    BOTH members overflowed their lowest agreeing band's bucket (neither is
+    in that state, and every higher agreeing band defers to the lower band
+    by the ownership rule, which cannot locally observe the lower bucket's
+    rejection).  Duplicate emission would need the same url delivered twice
+    to a bucket that could not store it the first time — i.e. a
+    non-exactly-once SOURCE during a flood; the Structured Streaming file
+    source replays a batch only after a failure, which re-emits its whole
+    output anyway.  At scale the state store shards by bucket key."""
     import hashlib
 
     import pandas as pd
@@ -338,7 +350,7 @@ def stream_simhash_dups(spark: SparkSession, pages_dir: str, out_dir: str,
         out_u, out_o, out_h = [], [], []
         for pdf in pdfs:
             for url, sig in zip(pdf["url"], pdf["sig"]):
-                if url in have or len(urls) >= bucket_cap:
+                if url in have:
                     continue
                 sig = int(sig)
                 for u2, s2 in zip(urls, sigs):
@@ -355,8 +367,13 @@ def stream_simhash_dups(spark: SparkSession, pages_dir: str, out_dir: str,
                         out_o.append(u2)
                         out_h.append(ham)
                 have.add(url)
-                urls.append(url)
-                sigs.append(sig)
+                # compare-but-not-store flood cap (ADVICE r4): a full
+                # bucket still emitted this arrival's pairs above; only
+                # its MEMBERSHIP is refused, bounding state while keeping
+                # every pair with >=1 admitted member in its owner band.
+                if len(urls) < bucket_cap:
+                    urls.append(url)
+                    sigs.append(sig)
         state.update((urls, sigs))
         yield pd.DataFrame({"url": out_u, "other": out_o, "hamming": out_h,
                             "band": [band] * len(out_u)})

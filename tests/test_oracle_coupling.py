@@ -48,6 +48,11 @@ def test_nav_vocab_literals_derive_from_corpus():
     """The oracle's inlined nav-word/length arrays ARE corpus._NAV."""
     assert X._NAV_LEN_SQL == "[" + ",".join(str(len(w)) for w in _NAV) + "]"
     assert X._NAV_SQL == "[" + ",".join(f"'{w}'" for w in _NAV) + "]"
+    # r4 ADVICE: the rotation modulus must track the vocabulary size too —
+    # a grown _NAV with a stale "% 10" would desynchronize every nav oracle.
+    # _NAV_MOD is interpolated into every nav rotation in the oracle SQL.
+    assert X._NAV_MOD == len(_NAV)
+    assert f"% {X._NAV_MOD} AS INT" in X._O_TEMPLATE
 
 
 def test_lay3_matches_layout_params(con):

@@ -225,3 +225,40 @@ def test_stream_simhash_dups(spark, tmp_path):
         agree = sig[r["url"]] ^ sig[r["other"]]
         lowest = min(b for b in range(4) if (agree >> (4 * b)) & 0xF == 0)
         assert r["band"] == lowest, (r["url"], r["other"], r["band"], lowest)
+
+
+def test_stream_simhash_flood_cap_semantics(spark, tmp_path):
+    """Flood-cap contract (ADVICE r4): a bucket at bucket_cap stops
+    ADMITTING but keeps COMPARING — an overflow arrival still emits its
+    pairs against admitted members in the pair's lowest agreeing band
+    (compare-but-not-store), across micro-batch boundaries, exactly once.
+    The documented residual is also pinned: a pair BOTH of whose members
+    overflowed is dropped (at-most-once under flood), never duplicated."""
+    import datetime
+
+    from osdocr_spark.spark.stages import PAGES_SCHEMA
+    from osdocr_spark.spark.streaming import stream_simhash_dups
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ts = datetime.datetime(2024, 1, 1)
+    # identical text => identical 16-bit signatures => every band's chunks
+    # agree, so every pair's owner is band 0 and every url lands in the
+    # same 4 buckets — with bucket_cap=1 only 'a' (first arrival) is stored
+    mk = lambda urls: spark.createDataFrame(
+        [(u, ts, b"", "alpha beta gamma delta", "en") for u in urls],
+        PAGES_SCHEMA)
+    _write_one_file(mk(["a"]), pages_dir, 1_700_000_000)
+    _write_one_file(mk(["b", "c"]), pages_dir, 1_700_000_100)
+
+    q = stream_simhash_dups(spark, pages_dir, out_dir,
+                            max_files_per_trigger=1, bucket_cap=1)
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(os.path.join(out_dir, "simhash_dups")).collect()
+    got = sorted((r["url"], r["other"], r["hamming"], r["band"]) for r in rows)
+    # b and c each pair with the one ADMITTED member 'a' (b crossing a
+    # micro-batch boundary), from band 0, hamming 0, exactly once; the
+    # b-c pair (both overflowed band 0, all higher bands defer to band 0)
+    # is the documented at-most-once drop — asserted absent, not duplicated
+    assert got == [("b", "a", 0, 0), ("c", "a", 0, 0)]
