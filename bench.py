@@ -110,24 +110,32 @@ def _quick_canary() -> float:
     return round(best, 2)
 
 
-def _prev_round_bench() -> tuple[str, dict] | None:
-    """Latest BENCH_r{N}.json in the repo root (the prior round's record)."""
+def _bench_round_files() -> list[str]:
     import glob
     import re as _re
-    cands = sorted(glob.glob(os.path.join(os.path.dirname(
+    return sorted(glob.glob(os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "BENCH_r*.json")),
         key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)))
-    if not cands:
-        return None
-    with open(cands[-1]) as f:
-        j = json.load(f)
-    # the driver records bench stdout under a "parsed" wrapper
-    if "queries" not in j and isinstance(j.get("parsed"), dict):
-        j = j["parsed"]
-    return os.path.basename(cands[-1]), j
 
 
-def _normalized_deltas(timings: dict, canary: float) -> dict | None:
+def _prev_round_bench() -> tuple[str, dict] | None:
+    """Newest PARSEABLE BENCH_r{N}.json in the repo root.  Walks backwards
+    past unparseable records (r4's stdout line outgrew the driver's tail
+    capture, leaving ``"parsed": null`` — VERDICT r4 item 1); normalization
+    vs an older round is still exact because deltas are canary-rescaled."""
+    for path in reversed(_bench_round_files()):
+        with open(path) as f:
+            j = json.load(f)
+        # the driver records bench stdout under a "parsed" wrapper
+        if "queries" not in j and isinstance(j.get("parsed"), dict):
+            j = j["parsed"]
+        if j.get("queries") and j.get("cpu_canary_per_proc"):
+            return os.path.basename(path), j
+    return None
+
+
+def _normalized_deltas(timings: dict, canary: float,
+                       sf: float | None = None) -> dict | None:
     """Per-query deltas vs the prior round, raw AND canary-normalized
     (round 4, VERDICT r3 item 6): normalized = raw seconds scaled to the
     prior round's box speed (cur_s × canary_cur / canary_prev — the canary
@@ -141,6 +149,10 @@ def _normalized_deltas(timings: dict, canary: float) -> dict | None:
     pc = pj.get("cpu_canary_per_proc")
     if not pq or not pc:
         return {"source": src, "note": "prior round lacks canary; raw only"}
+    if sf is not None and pj.get("sf") not in (None, sf):
+        return {"source": src,
+                "note": f"prior round ran sf={pj.get('sf')}, this run "
+                        f"sf={sf}; cross-SF deltas are meaningless"}
     raw, norm = {}, {}
     for name, cur_s in timings.items():
         if name in pq and pq[name]:
@@ -152,29 +164,68 @@ def _normalized_deltas(timings: dict, canary: float) -> dict | None:
 
 _NORM_MARKER = "## Headline normalization vs prior round"
 
+# Window-quality sentinels (VERDICT r4 item 1b): relational queries whose
+# implementing code (ops/relational.py) has been untouched since round 2 —
+# any NORMALIZED movement on them is measurement-window contamination, not
+# code.  r4's degraded driver window showed exactly this signature
+# (+10–16% normalized on untouched code, medians ~2× mins).
+SENTINELS = ("q_agg_pricing", "q_join_topk", "q_asof_join")
 
-def _write_normalized_table(vs_prev: dict | None, timings: dict) -> None:
-    """Maintain a canary-normalized per-query table in BENCH/BASELINE.md
-    (idempotent section replace; scaling() rewrites the file wholesale and
-    the next bench() run re-appends this section)."""
+
+def _window_flags(timings: dict, medians: dict, vs_prev: dict | None) -> list[str]:
+    """Self-classify the measurement window.  Two independent detectors:
+    (a) sentinel drift — median |normalized delta| of the never-touched
+    sentinel queries > 10%; (b) median/min blowout — the suite's median
+    per-query median-of-3/min-of-3 ratio > 1.5 (quiet windows run ~1.0–1.2;
+    r4's contaminated window ran ~2×).  Either flag ⇒ 'degraded'."""
+    flags = []
+    if vs_prev and vs_prev.get("delta_normalized_pct"):
+        devs = sorted(abs(vs_prev["delta_normalized_pct"][s])
+                      for s in SENTINELS if s in vs_prev["delta_normalized_pct"])
+        if devs and devs[len(devs) // 2] > 10.0:
+            flags.append("sentinel_drift")
+    # sub-0.2 s queries are excluded: their min is dominated by fixed task
+    # dispatch, so the ratio there is noise, not window evidence
+    ratios = sorted(medians[n] / timings[n] for n in timings
+                    if timings[n] >= 0.2)
+    if ratios and ratios[len(ratios) // 2] > 1.5:
+        flags.append("median_min_blowout")
+    return flags
+
+
+def _write_normalized_table(vs_prev: dict | None, timings: dict,
+                            window: str, path: str | None = None) -> None:
+    """Maintain canary-normalized per-query tables in BENCH/BASELINE.md,
+    one section per window quality (VERDICT r4 item 7: a degraded-window
+    run must not overwrite the clean-window record — last-writer-wins is
+    how r4's official table got contaminated).  scaling() rewrites the file
+    wholesale; the next bench() runs re-append these sections."""
     if not vs_prev or "delta_normalized_pct" not in vs_prev:
         return
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", "BASELINE.md")
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     body = ""
     if os.path.exists(path):
         with open(path) as f:
             body = f.read()
-        if _NORM_MARKER in body:
-            body = body[: body.index(_NORM_MARKER)].rstrip() + "\n"
+    # split off any existing normalization sections (labeled or legacy)
+    head = body
+    sections: dict[str, str] = {}
+    if _NORM_MARKER in body:
+        head = body[: body.index(_NORM_MARKER)].rstrip() + "\n"
+        rest = body[body.index(_NORM_MARKER):]
+        for chunk in rest.split(_NORM_MARKER):
+            if not chunk.strip():
+                continue
+            label = "clean" if chunk.startswith(" — clean") else (
+                "degraded" if chunk.startswith(" — degraded") else "clean")
+            sections[label] = _NORM_MARKER + chunk.rstrip() + "\n"
     rows = "\n".join(
         f"| {n} | {timings[n]} | {vs_prev['delta_raw_pct'][n]:+} | "
         f"{vs_prev['delta_normalized_pct'][n]:+} |"
         for n in timings if n in vs_prev["delta_normalized_pct"])
-    with open(path, "w") as f:
-        f.write(body + f"""
-{_NORM_MARKER}
+    sections[window] = f"""{_NORM_MARKER} — {window} window
 
 Raw per-query seconds across rounds conflate code changes with this shared
 VM's delivered per-core speed; the normalized column rescales this round's
@@ -182,14 +233,21 @@ seconds to the prior round's box speed via the single-proc md5 canary
 (cur_s × {vs_prev['canary_cur']} / {vs_prev['canary_prev']}, vs
 {vs_prev['source']}).  A row whose raw delta is box drift self-classifies
 as ≈0% normalized; only normalized movement indicates changed code.
+Window self-classified **{window}** by the sentinel gate (never-touched
+queries {', '.join(SENTINELS)} must sit within ±10% normalized and the
+suite's median median/min ratio within 1.5; a degraded run's table is
+kept in its own section and never overwrites a clean one).
 
 | query | this round (s) | Δraw % | Δ normalized % |
 | --- | --- | --- | --- |
 {rows}
-""")
+"""
+    with open(path, "w") as f:
+        f.write(head + "\n" + "\n".join(
+            sections[k] for k in ("clean", "degraded") if k in sections))
 
 
-def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
+def _bench_once(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as E
     canary = _quick_canary()
     spark = _fresh_spark(cpus)
@@ -223,36 +281,100 @@ def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
     timings = {name: round(min(r), 3) for name, r in runs.items()}
     medians = {name: round(sorted(r)[1], 3) for name, r in runs.items()}
     total = round(sum(timings.values()), 3)
-    out = {
+    vs_prev = _normalized_deltas(timings, canary, sf=_sf_of(sf_dir))
+    flags = _window_flags(timings, medians, vs_prev)
+    return {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        "methodology": "per-query min-of-3 in one warm session (since mid-r1),"
-                       " reps interleaved round-robin across queries (since r3,"
-                       " after r2's t_quality noise-window artifact);"
-                       " median-of-3 alongside; see BENCH/BASELINE.md",
-        "notes": {
-            "d_minhash_pairs": "r2 +80% vs r1 is the deliberate cost of the "
-                               "two-phase bucket cap (count agg + semi-join "
-                               "before pair expansion) adopted so a flood "
-                               "bucket never materializes an O(bucket) buffer "
-                               "at scale; kept — scale safety over headline.",
-            "t_quality": "r2's 0.97 s was an external-noise window on 3 "
-                         "back-to-back reps (re-measured r3: 0.24 s "
-                         "suite-warm); reps now interleave across queries.",
-        },
+        "window": "degraded" if flags else "clean",
+        "window_flags": flags,
         "cpu_canary_per_proc": canary,
-        "vs_prev_round": _normalized_deltas(timings, canary),
+        "vs_prev_round": vs_prev,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "docs": n_docs,
         "extract_docs_per_sec": round(n_docs / timings["extract_text"], 1)
         if timings.get("extract_text") else None,
     }
-    _write_normalized_table(out["vs_prev_round"], timings)
-    return out
+
+
+# Sidecar keys (VERDICT r4 item 1a): everything the driver's stdout-tail
+# capture does not need lives in BENCH/bench_r{N}_detail.json — r4's
+# official record went unparseable precisely because the one JSON line
+# outgrew the tail buffer once vs_prev_round was inlined.
+_DETAIL_KEYS = ("queries_median", "vs_prev_round", "discarded_attempts",
+                "methodology", "notes")
+_STDOUT_BUDGET = 1500  # bytes; driver tail-capture safety margin
+
+
+def _next_round_no() -> int:
+    import re as _re
+    files = _bench_round_files()
+    return 1 + (int(_re.search(r"r(\d+)", os.path.basename(files[-1])).group(1))
+                if files else 0)
+
+
+def bench(sf_dir: str = SF_DIR, cpus: int = CPUS) -> dict:
+    """Driver entrypoint: one COMPACT JSON line on stdout (< ~1.5 KB so the
+    driver's tail capture always parses it), full detail in a BENCH/ sidecar,
+    and a window-quality gate — if the sentinel detectors classify the
+    measurement window as degraded, the whole suite reruns once and the
+    better-window attempt becomes the record (the discarded attempt is kept
+    in the sidecar, so nothing is hidden)."""
+    attempts = [_bench_once(sf_dir, cpus)]
+    if attempts[0]["window"] == "degraded":
+        attempts.append(_bench_once(sf_dir, cpus))
+    # prefer a clean window; among equals, the smaller suite total (the
+    # least-interference estimator, same rationale as per-query min-of-3)
+    chosen = sorted(attempts,
+                    key=lambda a: (a["window"] != "clean", a["value"]))[0]
+    out = dict(chosen)
+    out["window_attempts"] = len(attempts)
+    out["methodology"] = (
+        "per-query min-of-3 in one warm session, reps interleaved "
+        "round-robin across queries (r3); window-quality gate with one "
+        "auto-rerun on degraded classification (r5); see BENCH/BASELINE.md")
+    out["notes"] = {
+        "d_minhash_pairs": "r2 +80% vs r1 is the deliberate cost of the "
+                           "two-phase bucket cap (count agg + semi-join "
+                           "before pair expansion) adopted so a flood "
+                           "bucket never materializes an O(bucket) buffer "
+                           "at scale; kept — scale safety over headline.",
+        "t_quality": "r2's 0.97 s was an external-noise window on 3 "
+                     "back-to-back reps (re-measured r3: 0.24 s "
+                     "suite-warm); reps now interleave across queries.",
+    }
+    out["discarded_attempts"] = [
+        {k: a[k] for k in ("value", "window", "window_flags",
+                           "cpu_canary_per_proc", "queries")}
+        for a in attempts if a is not chosen]
+    _write_normalized_table(out["vs_prev_round"], out["queries"],
+                            out["window"])
+    # split: compact stdout record vs sidecar detail
+    detail_path = os.path.join("BENCH", f"bench_r{_next_round_no():02d}_detail.json")
+    os.makedirs("BENCH", exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+    return _compact_record(out, detail_path)
+
+
+def _compact_record(out: dict, detail_path: str) -> dict:
+    """The driver-facing record: detail keys stripped, sidecar pointer added,
+    guaranteed to serialize under _STDOUT_BUDGET bytes (the r4 failure mode:
+    the one stdout JSON line outgrew the driver's tail capture)."""
+    compact = {k: v for k, v in out.items() if k not in _DETAIL_KEYS}
+    compact["detail"] = detail_path
+    if len(json.dumps(compact)) > _STDOUT_BUDGET:
+        # last-ditch: the queries dict is the driver contract; shed the
+        # next-most-expendable keys until the line fits
+        for k in ("window_flags", "cpu_canary_per_proc"):
+            compact.pop(k, None)
+            if len(json.dumps(compact)) <= _STDOUT_BUDGET:
+                break
+    return compact
 
 
 def _canary_work(_):

@@ -19,10 +19,14 @@ from . import dedup, extraction, relational, simsearch, textstats, validation
 # Order matters for the driver's CORRECTNESS report, which checks the FIRST
 # 50 registry entries only.  Round 2 shipped with relational-first ordering and
 # the entire extraction/validation tail (the flagship byte-parity gauntlets and
-# all v_* metrics) fell past the cap with no driver row.  Extraction and
-# validation lead now; the queries that fall out the back are relational shapes
-# with two fully-green driver rounds behind them.
-ALL_MODULES = (extraction, validation, dedup, simsearch, textstats, relational)
+# all v_* metrics) fell past the cap with no driver row.  The standing policy
+# (mechanized by tests/test_registry_cap_window.py since r5): every query
+# whose implementing module was touched since the last round tag must sit
+# inside the first-50 window — the queries that fall out the back carry green
+# driver rows from prior rounds on code untouched since.  Round 5 touched
+# textstats (t_ngram_topk oracle bound), so textstats moves ahead of the
+# untouched dedup/simsearch/relational suites.
+ALL_MODULES = (extraction, textstats, validation, dedup, simsearch, relational)
 
 
 def all_queries():
