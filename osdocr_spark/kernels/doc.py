@@ -83,16 +83,30 @@ class Document:
         self._text_cache: dict = {}
         self._lines_built: set = set()
         self._nonempty_cache: dict = {}
+        self._metric_arr_cache: dict = {}
+        self._w_block_sorted: bool | None = None
+        self._vt_built: set = set()
 
     # ---------------------------------------------------------------- words
     def n_blocks(self) -> int:
         return len(self.b_id)
 
     def words_of(self, bi: int) -> np.ndarray:
-        """Word indices of block ``bi`` in pre-order (memoized)."""
+        """Word indices of block ``bi`` in pre-order (memoized).  The parse
+        emits words grouped by block (pre-order), so the common case is a
+        binary-search slice of the sorted ``w_block`` column instead of a
+        whole-table scan per block (r5 dense-page cost); an unsorted table
+        (hand-built test docs) keeps the scan path."""
         hit = self._words_cache.get(bi)
         if hit is None:
-            hit = np.nonzero(self.w_block == bi)[0]
+            if self._w_block_sorted is None:
+                wb = self.w_block
+                self._w_block_sorted = bool(len(wb) == 0 or (wb[1:] >= wb[:-1]).all())
+            if self._w_block_sorted:
+                s, e = np.searchsorted(self.w_block, [bi, bi + 1])
+                hit = np.arange(s, e)
+            else:
+                hit = np.nonzero(self.w_block == bi)[0]
             self._words_cache[bi] = hit
         return hit
 
@@ -102,13 +116,19 @@ class Document:
         text above ``conf``.  Images are never empty unless ``only_text``."""
         if not only_text and self.b_type[bi] == "image":
             return False
+        return not bool(self.nonempty_mask(conf)[bi])
+
+    def nonempty_mask(self, conf: int = 0) -> np.ndarray:
+        """Whole-document bool mask: block has ``[\\w\\d]`` text above
+        ``conf`` — the vectorized complement of ``is_empty(only_text=True)``
+        (one bincount serves every block; memoized per conf)."""
         nonempty = self._nonempty_cache.get(conf)
-        if nonempty is None:  # one whole-doc bincount serves every block
+        if nonempty is None:
             mask = (self.w_conf >= conf) & self._w_has_char
             nonempty = np.bincount(self.w_block[mask],
                                    minlength=self.n_blocks()) > 0
             self._nonempty_cache[conf] = nonempty
-        return not bool(nonempty[bi])
+        return nonempty
 
     def block_is_delimiter(self, bi: int, conf: int = 0, only_type: bool = False) -> bool:
         """``is_delimiter`` (``ocr_tree.py:588-600``): typed, or empty with
@@ -248,6 +268,36 @@ class Document:
             c[(bi, conf)] = float(hsum[bi]) / cnt[bi] if cnt[bi] else 0.0
             c[(bi, conf, "cw")] = float(wsum[bi]) / csum[bi] if csum[bi] else 0.0
 
+    def block_metric_arrays(self, conf: int = -1) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-document (mean_word_height, char_mean_width) arrays — the
+        vectorized twin of the per-block accessors (same bincount math as
+        ``_fill_block_metrics``; elementwise IEEE division equals the
+        scalar ``float(hsum)/cnt`` bit-for-bit, so parity is unaffected).
+        Memoized per conf; used by the vectorized classifier."""
+        hit = self._metric_arr_cache.get(conf)
+        if hit is not None:
+            return hit
+        nw = len(self.w_text)
+        if self._w_len is None:
+            self._w_len = np.fromiter((len(t) for t in self.w_text),
+                                      np.int64, nw)
+        if conf >= 0 and nw:
+            mask = self.w_conf >= conf
+            wb, box, wl = self.w_block[mask], self.w_box[mask], self._w_len[mask]
+        else:
+            wb, box, wl = self.w_block, self.w_box, self._w_len
+        nb = self.n_blocks()
+        cnt = np.bincount(wb, minlength=nb)
+        zeros = lambda: np.zeros(nb)
+        hsum = np.bincount(wb, weights=g.height(box), minlength=nb) if len(wb) else zeros()
+        wsum = np.bincount(wb, weights=g.width(box), minlength=nb) if len(wb) else zeros()
+        csum = np.bincount(wb, weights=wl, minlength=nb) if len(wb) else zeros()
+        mh = np.divide(hsum, cnt, out=np.zeros(nb), where=cnt > 0)
+        cw = np.divide(wsum, csum, out=np.zeros(nb), where=csum > 0)
+        hit = (mh, cw)
+        self._metric_arr_cache[conf] = hit
+        return hit
+
     def block_mean_word_height(self, bi: int, conf: int = -1) -> float:
         """``calculate_mean_height(level=5)`` (``ocr_tree.py:530-539``).
         Memoized per (block, conf) like ``block_is_vertical_text`` — classify,
@@ -304,9 +354,39 @@ class Document:
         hit = self._vt_cache.get((bi, conf))
         if hit is not None:
             return hit
+        if (self.n_blocks() >= _BATCH_METRICS_MIN_BLOCKS
+                and conf not in self._vt_built):
+            # first miss at this conf on a block-heavy page: resolve every
+            # single-word block (the dense-family common case) in one
+            # vectorized pass; multi-word blocks keep the per-block impl
+            self._vt_built.add(conf)
+            self._fill_vertical_cache(conf)
+            hit = self._vt_cache.get((bi, conf))
+            if hit is not None:
+                return hit
         hit = self._vertical_text_impl(bi, conf)
         self._vt_cache[(bi, conf)] = hit
         return hit
+
+    def _fill_vertical_cache(self, conf: int) -> None:
+        """Batch single-word vertical verdicts: a one-word block's vote
+        reduces to ``height >= 2·width`` on its only word (impl's
+        ``len(wi)==1`` arm), gated by the non-empty check — both whole-doc
+        vectorized.  Identical booleans to the per-block impl."""
+        n = self.n_blocks()
+        if len(self.w_block) == 0:
+            return
+        wcnt = np.bincount(self.w_block, minlength=n)
+        w_of = np.full(n, -1, dtype=np.int64)
+        w_of[self.w_block] = np.arange(len(self.w_block))
+        si = np.nonzero(wcnt == 1)[0]
+        if len(si) == 0:
+            return
+        wb = self.w_box[w_of[si]]
+        v = (g.height(wb) >= g.width(wb) * 2) & self.nonempty_mask(conf)[si]
+        c = self._vt_cache
+        for bi, vv in zip(si.tolist(), v.tolist()):
+            c[(bi, conf)] = vv
 
     def _vertical_text_impl(self, bi: int, conf: int) -> bool:
         if self.block_is_empty(bi, conf, only_text=True):

@@ -18,7 +18,8 @@ import numpy as np
 from . import geometry as g
 
 __all__ = ["directly_below", "directly_right", "directly_above",
-           "below", "right", "above", "left", "neighbor_tables"]
+           "below", "right", "above", "left", "neighbor_tables",
+           "neighbor_matrices"]
 
 
 def _strip_extended_vertical(bb: np.ndarray, i: int, all_bottom: int) -> np.ndarray:
@@ -118,6 +119,24 @@ def neighbor_tables(bb: np.ndarray, idxs: np.ndarray,
     out: dict[str, dict[int, list[int]]] = {kd: {} for kd in kinds}
     if k == 0:
         return out
+    mats = neighbor_matrices(bb, idxs, kinds)
+    for kind in kinds:
+        direct = mats[kind]
+        tbl = out[kind]
+        for a in range(k):
+            tbl[int(idxs[a])] = [int(idxs[b]) for b in np.nonzero(direct[a])[0]]
+    return out
+
+
+def neighbor_matrices(bb: np.ndarray, idxs: np.ndarray,
+                      kinds: tuple = ("below", "right", "above")) -> dict:
+    """The matrix form of :func:`neighbor_tables`: ``direct[a, b]`` = block
+    ``idxs[b]`` is a direct neighbor of ``idxs[a]`` in the given direction.
+    Same math; vectorized consumers (the classifier) index the rows
+    directly instead of paying the per-block Python list build."""
+    k = len(idxs)
+    if k == 0:
+        return {kd: np.zeros((0, 0), dtype=bool) for kd in kinds}
     bx = bb[idxs]
     L_, R_, T_, B_ = bx[:, g.L], bx[:, g.R], bx[:, g.T], bx[:, g.B]
     xov = (L_[:, None] <= R_[None, :]) & (R_[:, None] >= L_[None, :])
@@ -139,15 +158,17 @@ def neighbor_tables(bb: np.ndarray, idxs: np.ndarray,
         "above": lambda: ((B_[None, :] < B_[:, None]) & not_inside & xov,
                           xov & (B_[:, None] < B_[None, :]) & ~eye),
     }
+    out = {}
     for kind in kinds:
         hit, m = spec[kind]()
-        # int32 accumulation: an int8 matmul wraps once a row has ≥128
-        # matching (hit, pair) entries — fine for ≤15-block corpus pages but
-        # wrong for real OCR pages with >127 blocks (ADVICE r2)
-        direct = hit & ~(hit.astype(np.int32) @ m.T.astype(np.int32) > 0)
-        tbl = out[kind]
-        for a in range(k):
-            tbl[int(idxs[a])] = [int(idxs[b]) for b in np.nonzero(direct[a])[0]]
+        # float32 accumulation via BLAS sgemm (r5: numpy integer matmul has
+        # no BLAS path — the int32 product was the dense-page hot spot).
+        # Exactness: summands are 0/1 and a row sum is ≤ k ≪ 2²⁴, so every
+        # partial sum is exactly representable in float32 regardless of
+        # BLAS accumulation order; the r2 int8-wrap hazard (>127 matching
+        # entries) cannot recur (pinned by the >255-block composed family).
+        out[kind] = hit & ~(
+            hit.astype(np.float32) @ m.T.astype(np.float32) > 0.5)
     return out
 
 

@@ -512,3 +512,35 @@ def test_malformed_inputs_never_raise():
         assert r["url"] == name
         assert isinstance(r["text"], str)
         assert r["n_words"] >= 0
+
+
+def test_categorize_vectorized_matches_loop():
+    """Exact A/B parity of the vectorized classifier against the sequential
+    reference loop (kept as _categorize_blocks_loop) — b_type and both
+    continuation flags, over every generator family incl. all five
+    adversarial layouts (the caption/vertical/dense branches live there)."""
+    import duckdb
+
+    from osdocr_spark.kernels.classify import (_categorize_blocks_loop,
+                                               categorize_blocks)
+    from osdocr_spark.kernels.corpus import (generate_page,
+                                             generate_page_adversarial)
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    rows = duckdb.sql("select doc_id, text from "
+                      "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    checked = 0
+    for doc_id, text in rows[:120]:
+        for gen, kw in ((generate_page, {}), (generate_page, {"noisy": True}),
+                        (generate_page, {"multi_article": True}),
+                        (generate_page_adversarial, {})):
+            html = gen(doc_id, text.strip(), **kw)
+            d_vec = parse_hocr(html)
+            d_loop = parse_hocr(html)
+            categorize_blocks(d_vec)
+            _categorize_blocks_loop(d_loop)
+            assert list(d_vec.b_type) == list(d_loop.b_type), (doc_id, kw)
+            assert list(d_vec.b_start_text) == list(d_loop.b_start_text), (doc_id, kw)
+            assert list(d_vec.b_end_text) == list(d_loop.b_end_text), (doc_id, kw)
+            checked += 1
+    assert checked == 480
