@@ -36,9 +36,15 @@ __all__ = ["parse_hocr", "to_hocr"]
 # crossed, so an unclosed word span still yields group(3)=None rather than
 # swallowing the next word.  Linear (no per-character backtracking).
 _TEXT_RUN = r"(?:[^<]|<(?![A-Za-z/!]))*"
+# The title group nests an optional fast capture of the Tesseract attr
+# shape ("bbox L T R B" / "bbox L T R B; x_wconf C") so the common case
+# parses in the same C-level scan; any other attr order leaves the nested
+# groups None and the per-element fallback below handles it.
 _ELEM = re.compile(
     r"<(?:div|p|span)[^>]*?class=['\"](ocr_page|ocr_carea|ocr_par|ocr_line|ocrx_word)['\"]"
-    r"[^>]*?title=['\"]([^'\"]*)['\"][^>]*>"
+    r"[^>]*?title=['\"]("
+    r"(?:bbox (-?\d+) (-?\d+) (-?\d+) (-?\d+)(?:; x_wconf (-?\d+))?)?"
+    r"[^'\"]*)['\"][^>]*>"
     r"(?:(" + _TEXT_RUN + r"(?:<(?!/?span\b)[^>]*>" + _TEXT_RUN + r")*)</span>)?",
     re.DOTALL,
 )
@@ -60,30 +66,33 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
     element class, word text from span content)."""
     text = data.decode("utf-8", errors="replace") if isinstance(data, (bytes, bytearray)) else data
 
-    w_box: list[tuple[int, int, int, int]] = []
-    w_conf: list[int] = []
+    # coordinates stay STRINGS through the loop; one numpy str→int64 bulk
+    # conversion at the end replaces ~5 int() calls per element (r5: the
+    # per-match loop was the parse hot spot after the single-scan regex)
+    wb_s: list[str] = []          # flat [x0, x1, y0, y1, ...] per word
+    w_conf_s: list[str] = []
     w_text: list[str] = []
     w_block: list[int] = []
     w_par: list[int] = []
     w_line: list[int] = []
     w_link: list[bool] = []
-    b_box: list[tuple[int, int, int, int]] = []
+    bb_s: list[str] = []          # flat [x0, x1, y0, y1, ...] per block
 
+    dflt = str(default_conf)
     block = -1
     par = -1
     line = -1
-    for m in _ELEM.finditer(text):
-        cls, title, inner = m.group(1, 2, 3)
-        bm = _TITLE_FAST.search(title)
-        if not bm:
-            continue
-        x0, y0, x1, y1, fast_conf = bm.group(1, 2, 3, 4, 5)
-        x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
+    for cls, title, x0, y0, x1, y1, conf, inner in _ELEM.findall(text):
+        if not x0:  # non-Tesseract attr order: per-element fallback
+            bm = _TITLE_FAST.search(title)
+            if not bm:
+                continue
+            x0, y0, x1, y1, conf = bm.group(1, 2, 3, 4, 5)
         level = _LEVEL[cls]
         if level == 1:
             continue
         if level == 2:
-            b_box.append((x0, x1, y0, y1))
+            bb_s += (x0, x1, y0, y1)
             block += 1
             par = -1
             line = -1
@@ -94,37 +103,34 @@ def parse_hocr(data: bytes | str, url: str = "", default_conf: int = -1) -> Docu
             line += 1
         else:  # word
             if block < 0:  # flat hOCR: synthesize missing parents
-                b_box.append((x0, x1, y0, y1))
+                bb_s += (x0, x1, y0, y1)
                 block += 1
-            if fast_conf is not None:
-                conf = int(fast_conf)
-            else:  # x_wconf before bbox (non-Tesseract attr order)
+            if not conf:  # x_wconf elsewhere in the title, or absent
                 cm = _WCONF.search(title)
-                conf = int(cm.group(1)) if cm else default_conf
-            raw = inner or ""
-            is_link = "<a" in raw
+                conf = cm.group(1) if cm else dflt
+            is_link = "<a" in inner
             # tag-strip only when a tag can exist (most words are plain text)
-            word = _TAG.sub("", raw) if "<" in raw else raw
+            word = _TAG.sub("", inner) if "<" in inner else inner
             word = _html.unescape(word).strip()
-            w_box.append((x0, x1, y0, y1))
-            w_conf.append(conf)
+            wb_s += (x0, x1, y0, y1)
+            w_conf_s.append(conf)
             w_text.append(word)
             w_block.append(block)
-            w_par.append(max(par, 0))
-            w_line.append(max(line, 0))
+            w_par.append(par if par > 0 else 0)
+            w_line.append(line if line > 0 else 0)
             w_link.append(is_link)
 
-    nb = len(b_box)
+    nb = len(bb_s) // 4
     return Document(
         url=url,
-        w_box=np.array(w_box, dtype=np.int64).reshape(-1, 4),
-        w_conf=np.array(w_conf, dtype=np.int64),
+        w_box=np.array(wb_s, dtype=np.int64).reshape(-1, 4),
+        w_conf=np.array(w_conf_s, dtype=np.int64),
         w_text=np.array(w_text, dtype=object),
         w_block=np.array(w_block, dtype=np.int64),
         w_par=np.array(w_par, dtype=np.int64),
         w_line=np.array(w_line, dtype=np.int64),
         w_link=np.array(w_link, dtype=bool),
-        b_box=np.array(b_box, dtype=np.int64).reshape(-1, 4),
+        b_box=np.array(bb_s, dtype=np.int64).reshape(-1, 4),
         b_id=np.arange(nb, dtype=np.int64),
         b_type=np.full(nb, None, dtype=object),
     )
