@@ -69,8 +69,7 @@ def get_text_sizes(doc: Document, conf: int = 10,
     h = g.height(doc.w_box[wsel]).astype(np.float64)
     hsum = np.bincount(inv, weights=h, minlength=len(uniq))
     cnt = np.bincount(inv, minlength=len(uniq))
-    nonblank = np.fromiter((bool(doc.w_text[i].strip()) for i in wsel),
-                           dtype=np.float64, count=len(wsel))
+    nonblank = doc.w_nonblank()[wsel].astype(np.float64)
     nwords = np.bincount(inv, weights=nonblank, minlength=len(uniq))
     # banker's rounding like the reference's round() on the float mean
     vals = np.rint(hsum / cnt).astype(np.int64)
@@ -115,20 +114,19 @@ def get_columns(doc: Document) -> list[np.ndarray]:
     ``max(round(left), 0)``; pad 10% on the right only (``:158``);
     Whittaker(λ=2e4, order=2); peaks at prominence ``0.1·max``.
     """
-    lefts: list[int] = []
-    wts: list[int] = []
-    for bi in range(doc.n_blocks()):
-        if doc.block_is_empty(bi):
-            continue
-        wi = doc.words_of(bi)
-        nwords = sum(1 for i in wi if doc.w_text[i].strip())
-        left = int(doc.b_box[bi, g.L])
-        lefts.append(left if left > 0 else 0)
-        wts.append(1 + nwords)
-    if not lefts:
+    n = doc.n_blocks()
+    # one bincount pass (r5): non-empty selection, per-block nonblank word
+    # count and clipped left margin — same numbers as the per-block loop
+    # (is_empty default: conf=0, image-typed blocks never empty)
+    sel = doc.nonempty_mask(0) | np.fromiter(
+        (t == "image" for t in doc.b_type), bool, n)
+    if not sel.any():
         return []
-    hist = np.bincount(np.array(lefts), weights=np.array(wts),
-                       minlength=max(lefts) + 1).astype(np.float64)
+    nwords = np.bincount(doc.w_block[doc.w_nonblank()], minlength=n)
+    lefts = np.maximum(doc.b_box[:, g.L], 0)[sel]
+    wts = (1 + nwords)[sel]
+    hist = np.bincount(lefts, weights=wts,
+                       minlength=int(lefts.max()) + 1).astype(np.float64)
     if len(hist) <= 2:
         return []
     pad = int(round(len(hist) * 0.1))

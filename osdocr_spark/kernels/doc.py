@@ -86,6 +86,16 @@ class Document:
         self._metric_arr_cache: dict = {}
         self._w_block_sorted: bool | None = None
         self._vt_built: set = set()
+        self._w_nonblank_arr: np.ndarray | None = None
+
+    def w_nonblank(self) -> np.ndarray:
+        """Per-word ``bool(text.strip())`` — computed once, reused by every
+        word-count aggregate (classifier title arm, column histogram)."""
+        if self._w_nonblank_arr is None:
+            self._w_nonblank_arr = np.fromiter(
+                (bool(t.strip()) for t in self.w_text), dtype=bool,
+                count=len(self.w_text))
+        return self._w_nonblank_arr
 
     # ---------------------------------------------------------------- words
     def n_blocks(self) -> int:
