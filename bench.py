@@ -42,6 +42,9 @@ HEADLINE = [
     "d_winnow_fast",           # vectorized Karp-Rabin twin of d_winnow
     "extract_journal_template",  # journal_template_to_text port
     "extract_text_adversarial",  # irregular-layout gauntlet (r4 headline)
+    # added r5:
+    "extract_text_crossed",    # noisy x adversarial x multi-article gauntlet
+    "m_wav_meta",              # real WAV decode through the media seam
 ]
 
 

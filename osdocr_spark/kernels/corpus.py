@@ -194,10 +194,12 @@ def generate_page(doc_id: int, text: str, noisy: bool = False,
       the column gutter (``text_bound_box_fix`` shrink-to-hull)
 
     ``adversarial=True`` renders irregular layouts with derivable truth
-    (round-4 gauntlet — see :func:`generate_page_adversarial`).
+    (round-4 gauntlet — see :func:`generate_page_adversarial`); it composes
+    with ``noisy`` and ``multi_article`` (round-5 crossed gauntlets).
     """
     if adversarial:
-        return generate_page_adversarial(doc_id, text)
+        return generate_page_adversarial(doc_id, text, noisy=noisy,
+                                         multi_article=multi_article)
     words = text.split(" ")
     p = layout_params(doc_id, len(words))
     s, cw = p["size"], p["char_w"]
@@ -342,7 +344,8 @@ def generate_page(doc_id: int, text: str, noisy: bool = False,
     return em.finish()
 
 
-def generate_page_adversarial(doc_id: int, text: str) -> bytes:
+def generate_page_adversarial(doc_id: int, text: str, noisy: bool = False,
+                              multi_article: bool = False) -> bytes:
     """Irregular-layout gauntlet (round 4): five deterministic layout
     families, by ``doc_id % 5``, each still an exact inverse of the source
     text (the driver oracle stays the byte-parity ``_O_TEXT``) while
@@ -374,6 +377,23 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
 
     Fallbacks (too few words for a variant's reservation) degrade to the
     regular lines-balanced fill — still byte-exact, just less adversarial.
+
+    Round-5 crosses (VERDICT r4 item 5):
+
+    - ``noisy=True`` injects the fix-suite defects INTO the irregular
+      layouts: the low-conf garbage block, the >80%-page empty box, the
+      empty box nested in column 0's first body block, the first-block
+      bbox inflation past its word hull (applied to the first REGULAR
+      block — never the vertical block, whose 2:1 aspect is itself under
+      test), and — when column 0 opens with a ≥4-line text block (no
+      vertical reservation) — the fake rule through its second line gap.
+    - ``multi_article=True`` plants a second-article headline at the top
+      of column 1 on the ragged-fill variants (0 and 4): columns split by
+      WORD COUNT, so the article boundary is word-exact; the 3 headline
+      words come from the stream at that point and columns whose x-range
+      the headline spans start below it (the generate_page overlap rule).
+      Non-ragged variants degrade to their plain layout (documented
+      fallback, same doctrine as the reservation fallbacks).
     """
     variant = doc_id % 5
     words = text.split(" ")
@@ -381,15 +401,28 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
     s, cw = p["size"], p["char_w"]
     em = _Emitter()
 
+    # UNIFORM gaps (round 5): every word gap on an adversarial page — nav,
+    # title, body, headline, caption — is the body char width cw, so the
+    # page's average word distance EQUALS every gap and split_whitespaces'
+    # criterion (gap >= 3*((line_avg*0.3 + avg*0.7)/2)) clears with >= 19%
+    # margin on every line shape (2-word title lines are the tightest:
+    # split iff avg <= 0.81*gap).  The regular generator's mixed gaps
+    # (HEADER_CW nav) sit within ~3% of the threshold on low-word-count
+    # pages — pinned green for three rounds but too fragile to cross with
+    # noisy defects.  Only the byte-parity oracle covers adversarial
+    # geometry, so no blocks-table oracle shifts.
+    ogap = cw
+
     nav = [_NAV[(doc_id + i) % len(_NAV)] for i in range(3)]
-    em.block([nav], MARGIN, 10, HEADER_SIZE, HEADER_CW, link=True)
+    em.block([nav], MARGIN, 10, HEADER_SIZE, HEADER_CW, link=True,
+             word_gap=ogap)
 
     title_words = words[: p["title_n"]]
     body_words = words[p["title_n"]:]
     tcw = p["title_size"] * 3 // 5
     title_chars = (PAGE_W - 2 * MARGIN) // tcw
     tlines = _wrap_words(title_words, title_chars, doc_id, allow_hyphen=False)
-    tb = em.block(tlines, MARGIN, 60, p["title_size"], tcw, word_gap=cw)
+    tb = em.block(tlines, MARGIN, 60, p["title_size"], tcw, word_gap=ogap)
 
     n_cols = p["n_cols"]
     span = RAIL_X - GUTTER - MARGIN  # body strip (rail owns the rest)
@@ -409,6 +442,7 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
     if variant in (1, 4) and len(fill_words) >= 6:
         fill_words, caption_words = fill_words[:-3], fill_words[-3:]
 
+    headline2: list[str] | None = None
     if variant in (0, 4) and n_cols >= 2:
         # ragged: integer widths by weight n_cols..1, last takes remainder
         wsum = n_cols * (n_cols + 1) // 2
@@ -421,6 +455,20 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
             k = q + (1 if ci < r else 0)
             col_words.append(fill_words[pos: pos + k])
             pos += k
+        if multi_article:
+            # article 2 starts at the top of column 1: its headline takes
+            # the next 3 words of the stream there (word-count split ⇒ the
+            # boundary is word-exact; hyphen wraps stay within a column)
+            rest = [w for cws in col_words[1:] for w in cws]
+            if len(rest) >= 6:
+                headline2, rest = rest[:3], rest[3:]
+                q2, r2 = divmod(len(rest), n_cols - 1)
+                col_words = col_words[:1]
+                pos = 0
+                for ci in range(n_cols - 1):
+                    k = q2 + (1 if ci < r2 else 0)
+                    col_words.append(rest[pos: pos + k])
+                    pos += k
         col_plan = []
         for ci in range(n_cols):
             cpl = max(widths[ci] // cw, 8)
@@ -442,9 +490,17 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
 
     x0s = [MARGIN + sum(widths[:ci]) + ci * GUTTER for ci in range(n_cols)]
     last_col_bottom = y_body
+    first_body_top: int | None = None
+    pitch = s + s // 2
     if fill_words:
+        t2_box = None
         for ci in range(n_cols):
             y = y_body
+            # a planted headline can span into later columns' x-ranges;
+            # their content starts below it (generate_page's overlap rule)
+            if (t2_box is not None and x0s[ci] < t2_box[1]
+                    and x0s[ci] + widths[ci] > t2_box[0]):
+                y = max(y, t2_box[3] + s)
             if ci == 0 and vertical_word is not None:
                 # vertical-text block: single word, box height ≥ 2× width
                 w = vertical_word
@@ -453,8 +509,31 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
                 # _Emitter renders word height = size param ⇒ tall word box
                 y = y + 2 * wwidth + s + s
                 body_bottom = max(body_bottom, y - s)
+            if ci == 1 and headline2 is not None:
+                # the headline must stay clear of the marginalia rail: wrap
+                # it to the span left of the rail and clamp its char width
+                # so even the longest word fits (otherwise the fix path's
+                # 70%-overlap merge swallows rail words into the headline
+                # and scrambles the derivable truth)
+                avail = RAIL_X - GUTTER - x0s[1]
+                h_tcw = min(p["title_size"] * 3 // 5,
+                            avail // max(len(w) for w in headline2))
+                h_lines = _wrap_words(headline2, max(avail // h_tcw, 4),
+                                      doc_id, allow_hyphen=False)
+                t2 = em.block(h_lines, x0s[1], y, p["title_size"], h_tcw,
+                              word_gap=ogap)
+                t2_box = t2
+                y = t2[3] + s
+                body_bottom = max(body_bottom, t2[3])
+            if noisy and ci == 0 and col_plan[0]:
+                # one-shot bbox inflation applies to the first REGULAR
+                # block (set after any vertical emission: the vertical
+                # block's 2:1 aspect is itself under test)
+                em.pad_right, em.pad_bottom = GUTTER + 5, s // 2
             for blines in col_plan[ci]:
                 bb = em.block(blines, x0s[ci], y, s, cw)
+                if ci == 0 and first_body_top is None:
+                    first_body_top = int(bb[2])
                 y = bb[3] + s
                 body_bottom = max(body_bottom, bb[3])
             if ci == n_cols - 1:
@@ -466,15 +545,31 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
             em.empty_block(x0, x0 + widths[-1], last_col_bottom,
                            last_col_bottom + img_h)
             cs = s * 7 // 10  # caption: below normal size, outside ±10% band
-            cb = em.block([caption_words], x0, last_col_bottom + img_h + s // 2,
-                          cs, cs * 3 // 5, word_gap=cw)
+            # like the headline: the caption must not overflow its (possibly
+            # narrow ragged) column into the rail, else the fix path merges
+            # rail boilerplate into it and words vanish from the truth
+            avail_c = RAIL_X - GUTTER - x0
+            ccw = min(cs * 3 // 5,
+                      avail_c // max(len(w) for w in caption_words))
+            c_lines = _wrap_words(caption_words, max(avail_c // ccw, 4),
+                                  doc_id, allow_hyphen=False)
+            cb = em.block(c_lines, x0, last_col_bottom + img_h + s // 2,
+                          cs, ccw, word_gap=ogap)
             body_bottom = max(body_bottom, cb[3])
         for ci in range(n_cols - 1):
             xm = x0s[ci + 1] - GUTTER // 2
-            em.empty_block(xm - 1, xm + 1, y_body, body_bottom)
+            y_top = y_body
+            # a planted headline spans column boundaries; a real layout's
+            # column rule starts BELOW it (running the rule through the
+            # headline would make delimiters_fix split it — correctly —
+            # and scramble the derivable truth)
+            if t2_box is not None and t2_box[0] <= xm <= t2_box[1]:
+                y_top = max(y_top, t2_box[3] + 1)
+            em.empty_block(xm - 1, xm + 1, y_top, body_bottom)
 
     foot = [_NAV[(doc_id + 5 + i) % len(_NAV)] for i in range(3)]
-    em.block([foot], MARGIN, body_bottom + 60, HEADER_SIZE, HEADER_CW, link=True)
+    em.block([foot], MARGIN, body_bottom + 60, HEADER_SIZE, HEADER_CW,
+             link=True, word_gap=ogap)
 
     if fill_words:
         # dense rail: 130 blocks pins >127 (int8 wrap, neighbors.py int32
@@ -484,4 +579,25 @@ def generate_page_adversarial(doc_id: int, text: str) -> bytes:
         for i in range(n_rail):
             em.block([[_NAV[(doc_id + 3 + i) % len(_NAV)]]], RAIL_X,
                      y_body + i * 2 * s, s, cw, link=True)
+
+    if noisy and fill_words:
+        # fix-suite defects under the irregular layout (round-5 cross):
+        # same defect set as generate_page(noisy=True), geometry re-derived
+        # for the adversarial coordinates
+        em.block([["zq", "xv"]], PAGE_W - 150, 12, HEADER_SIZE, HEADER_CW,
+                 conf=5)
+        em.empty_block(5, PAGE_W - 5, 5, body_bottom + 100)
+        if first_body_top is not None:
+            # empty non-delimiter box nested in column 0's first body block
+            em.empty_block(x0s[0] + 5, x0s[0] + 30,
+                           first_body_top + 2, first_body_top + 2 + s // 2)
+        # fake horizontal rule through the first body block's 2nd line gap —
+        # only when column 0 OPENS with a ≥4-line text block (no vertical
+        # reservation), so both fragments stay multi-line and the reference's
+        # text-continuation attraction preserves column-major order
+        if (vertical_word is None and col_plan and col_plan[0]
+                and len(col_plan[0][0]) >= 4):
+            em.empty_block(x0s[0] + 2, x0s[0] + widths[0] // 2,
+                           y_body + 2 * pitch - s // 2 + 2,
+                           y_body + 2 * pitch - 2)
     return em.finish()

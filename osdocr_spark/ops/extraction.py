@@ -120,6 +120,23 @@ def extract_text_adversarial(spark, sf_dir):
             .select("url", "text"))
 
 
+def extract_text_crossed(spark, sf_dir):
+    """Crossed gauntlet (round 5, VERDICT r4 item 5): noisy × adversarial ×
+    multi-article on one page — the fix suite must repair OCR defects
+    injected INTO the five irregular layout families while a second-article
+    headline sits at the top of a ragged column, and extraction must still
+    return byte-identical normalized text.  This drives the interactions
+    the per-family gauntlets cannot: split_whitespaces against title-size
+    ornament gaps, delimiters_fix against headline-spanning column rules,
+    and join_trees against headline/rail adjacency — each of which DID
+    scramble the truth until the generator modeled the layout honestly
+    (rules start below headlines; headlines wrap inside their span)."""
+    return (extract_pages(load_pages(spark, sf_dir, noisy=True,
+                                     adversarial=True, multi_article=True),
+                          clean=True)
+            .select("url", "text"))
+
+
 def extract_multi_articles(spark, sf_dir):
     """Article-isolation gauntlet: the multi-article layout plants a second
     headline at the top of column 2; ``graph_isolate_articles`` must cut
@@ -650,6 +667,7 @@ QUERIES = {
     "extract_text_per_stage": extract_text_per_stage,
     "extract_text_hocr_roundtrip": extract_text_hocr_roundtrip,
     "extract_text_adversarial": extract_text_adversarial,
+    "extract_text_crossed": extract_text_crossed,
     "extract_multi_articles": extract_multi_articles,
     "extract_article_titles": extract_article_titles,
     "order_paths_agree": order_paths_agree,
@@ -667,6 +685,7 @@ ORACLES = {
     "extract_text_per_stage": _O_TEXT,
     "extract_text_hocr_roundtrip": _O_TEXT,
     "extract_text_adversarial": _O_TEXT,
+    "extract_text_crossed": _O_TEXT,
     "extract_multi_articles": _O_TEXT,
     "extract_article_titles": _O_TITLES,
     "order_paths_agree": _O_ORDER_AGREE,

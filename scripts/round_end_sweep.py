@@ -59,10 +59,14 @@ def check_doc(args: tuple[int, str]) -> list[str]:
         "noisy": generate_page(doc_id, text, noisy=True),
         "multi": generate_page(doc_id, text, multi_article=True),
         "adversarial": generate_page_adversarial(doc_id, text),
+        # round-5 crossed gauntlet: fix-suite defects + 2nd-article headline
+        # injected INTO the five irregular families, all at once
+        "crossed": generate_page_adversarial(doc_id, text, noisy=True,
+                                             multi_article=True),
     }
     results = {}
     for name, html in variants.items():
-        r = extract_html(url, html, clean=(name == "noisy"))
+        r = extract_html(url, html, clean=(name in ("noisy", "crossed")))
         results[name] = r
         if r["text"] != want:
             fails.append(f"{doc_id}:{name}:byte-parity")
@@ -129,14 +133,14 @@ def main() -> int:
     with mp.Pool(procs) as pool:
         all_fails = [f for fl in pool.map(check_doc, rows, chunksize=32) for f in fl]
     dt = time.time() - t0
-    print(f"swept {len(rows)} docs x 4 variants in {dt:.1f}s "
+    print(f"swept {len(rows)} docs x 5 variants in {dt:.1f}s "
           f"({4 * len(rows) / dt:.0f} extractions/s, {procs} procs)")
     if all_fails:
         print(f"FAIL ({len(all_fails)}):")
         for f in all_fails[:40]:
             print(" ", f)
         return 1
-    print("all checks green: byte parity x4 variants, columns/size exact, "
+    print("all checks green: byte parity x5 variants, columns/size exact, "
           "multi-article isolation, span tiling, 3-way order agreement")
     return 0
 
