@@ -176,17 +176,32 @@ SENTINELS = ("q_agg_pricing", "q_join_topk", "q_asof_join")
 
 
 def _window_flags(timings: dict, medians: dict, vs_prev: dict | None) -> list[str]:
-    """Self-classify the measurement window.  Two independent detectors:
-    (a) sentinel drift — median |normalized delta| of the never-touched
-    sentinel queries > 10%; (b) median/min blowout — the suite's median
-    per-query median-of-3/min-of-3 ratio > 1.5 (quiet windows run ~1.0–1.2;
-    r4's contaminated window ran ~2×).  Either flag ⇒ 'degraded'."""
+    """Self-classify the measurement window.  Detectors:
+
+    (a) **sentinel_drift** (⇒ degraded) — median normalized delta of the
+        never-touched sentinel queries > +10%: external contention can only
+        INFLATE wall times, so sentinels running slower than the prior
+        record on unchanged code is the r4 contamination signature.
+    (b) **median_min_blowout** (⇒ degraded) — the suite's median per-query
+        median-of-3/min-of-3 ratio > 1.5 (quiet windows run ~1.0–1.2; r4's
+        contaminated window ran ~2×).  Intrinsic to this run, needs no
+        prior record.
+    (c) **baseline_drift** (informational, window stays clean) — sentinels
+        ran >10% FASTER normalized than the prior record.  This run cannot
+        be contaminated into being faster; it means the PRIOR round's
+        record was taken in a slow window (or the md5 canary under-corrects
+        for it), so cross-round deltas should be read against this flag.
+    """
     flags = []
     if vs_prev and vs_prev.get("delta_normalized_pct"):
-        devs = sorted(abs(vs_prev["delta_normalized_pct"][s])
+        devs = sorted(vs_prev["delta_normalized_pct"][s]
                       for s in SENTINELS if s in vs_prev["delta_normalized_pct"])
-        if devs and devs[len(devs) // 2] > 10.0:
-            flags.append("sentinel_drift")
+        if devs:
+            med = devs[len(devs) // 2]
+            if med > 10.0:
+                flags.append("sentinel_drift")
+            elif med < -10.0:
+                flags.append("baseline_drift")
     # sub-0.2 s queries are excluded: their min is dominated by fixed task
     # dispatch, so the ratio there is noise, not window evidence
     ratios = sorted(medians[n] / timings[n] for n in timings
@@ -292,7 +307,7 @@ def _bench_once(sf_dir: str, cpus: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        "window": "degraded" if flags else "clean",
+        "window": "degraded" if set(flags) - {"baseline_drift"} else "clean",
         "window_flags": flags,
         "cpu_canary_per_proc": canary,
         "vs_prev_round": vs_prev,

@@ -276,6 +276,18 @@ def block_bound_box_fix(blocks: list[MBlock], conf: int = 10,
             j = i + 1
             while j < len(blocks):
                 b = blocks[j]
+                # prescreen (r5): the exact inclusive-edge intersects
+                # predicate in plain Python — when false, every rule below
+                # is a no-op (is_inside ⊆ intersects with inclusive edges,
+                # and the shrink branch is gated on intersects), and we
+                # skip the per-pair is_empty word scans that made this
+                # O(n²·words) on >255-block pages (17 s/5000 docs → ~3 s)
+                ab, bb = a.box, b.box
+                if not ((ab[0] <= bb[1] and ab[1] >= bb[0])
+                        and ((ab[2] <= bb[2] and ab[3] >= bb[2])
+                             or (bb[2] <= ab[2] and bb[3] >= ab[2]))):
+                    j += 1
+                    continue
                 na, nb_ = a.nparray(), b.nparray()
                 a_empty = a.is_empty(conf=conf)
                 b_empty = b.is_empty(conf=conf)

@@ -42,10 +42,25 @@ def test_window_degraded_on_sentinel_drift():
     vs = _vs_prev({"q_agg_pricing": 10.4, "q_join_topk": 16.0,
                    "q_asof_join": 12.0, "extract_text": 39.2})
     assert "sentinel_drift" in B._window_flags(timings, medians, vs)
-    # a lone outlier sentinel (median of |deltas| <= 10) stays clean
+    # a lone outlier sentinel (median of deltas <= 10) stays clean
     vs2 = _vs_prev({"q_agg_pricing": 2.0, "q_join_topk": 25.0,
                     "q_asof_join": -1.0})
     assert B._window_flags(timings, medians, vs2) == []
+
+
+def test_window_baseline_drift_is_informational_not_degraded():
+    """Sentinels running FASTER than the prior record cannot be this
+    window's contamination (contention only inflates times) — it flags the
+    PRIOR baseline as slow-biased, and the window stays clean (no rerun)."""
+    timings = {"extract_text": 1.3, "q_agg_pricing": 0.34,
+               "q_join_topk": 1.23, "q_asof_join": 0.24}
+    medians = {k: v * 1.08 for k, v in timings.items()}
+    vs = _vs_prev({"q_agg_pricing": -20.9, "q_join_topk": -7.2,
+                   "q_asof_join": -19.4, "extract_text": -21.4})
+    flags = B._window_flags(timings, medians, vs)
+    assert flags == ["baseline_drift"]
+    # the classification rule: baseline_drift alone does not degrade
+    assert not set(flags) - {"baseline_drift"}
 
 
 def test_window_degraded_on_median_min_blowout():
