@@ -460,6 +460,14 @@ def scaling(sf_dir: str = SF_DIR, replicate: int = 16, reps: int = 4) -> dict:
         f"| local[{c}] | {results[c]['docs']} | {results[c]['wall_s']} | "
         f"{results[c]['docs_per_sec']} | {results[c]['all_walls_s']} |"
         for c in (4, 16, 8, 32))
+    # preserve the per-query normalization sections bench() maintains —
+    # regenerating the scaling table must not discard the headline record
+    norm_tail = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        if _NORM_MARKER in prev:
+            norm_tail = "\n" + prev[prev.index(_NORM_MARKER):]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline — extraction scaling (sandbox evidence for the north rule)
 
@@ -508,7 +516,7 @@ parallelism levels is pinned by
 
 The reference publishes no benchmark numbers (SURVEY.md §6); the operative
 baseline is this table plus BENCH_r{{N}}.json per round.
-""")
+""" + norm_tail)
     return out
 
 

@@ -437,6 +437,15 @@ class Document:
         hit = self._text_cache.get(key)
         if hit is not None:
             return hit
+        # block-heavy pages render every block for this (conf, delims) in
+        # one vectorized pass (same ≥32 threshold as the metric batch
+        # fills); the per-block loop below stays as the parity baseline
+        # and the unsorted-word-table path
+        if self.n_blocks() >= 32:
+            self.words_of(0)  # resolve _w_block_sorted
+            if self._w_block_sorted:
+                self._fill_text_cache_all(conf, wd, ld, pd)
+                return self._text_cache[key]
         wi = self.words_of(bi)
         out: list[str] = []
         last_par = None
@@ -457,6 +466,44 @@ class Document:
         res = "".join(out)
         self._text_cache[key] = res
         return res
+
+    def _fill_text_cache_all(self, conf: int, wd: str, ld: str, pd: str) -> None:
+        """Batch ``block_to_text`` for EVERY block (sorted word table):
+        the loop's per-word state machine reduces to three change masks —
+        block start always emits par+line delims (``last_par``/``last_line``
+        reset to None), a paragraph change re-emits both, a line change
+        emits the line delim — so each word's emission is a pure function
+        of (prev word, this word) and the whole page renders as three
+        object-array concats (C-level ``PyUnicode_Concat``) plus one join
+        per block.  Byte-identical to the loop (parity test in
+        tests/test_kernels.py)."""
+        n = len(self.w_block)
+        nb = self.n_blocks()
+        cache = self._text_cache
+        if n == 0:
+            for bi in range(nb):
+                cache[(bi, conf, wd, ld, pd)] = ""
+            return
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        np.not_equal(self.w_block[1:], self.w_block[:-1], out=first[1:])
+        parchg = first.copy()
+        parchg[1:] |= self.w_par[1:] != self.w_par[:-1]
+        linechg = parchg.copy()
+        linechg[1:] |= self.w_line[1:] != self.w_line[:-1]
+        ok = self.w_conf >= conf
+        texts = np.asarray(self.w_text, dtype=object)
+        body = np.full(n, "", dtype=object)
+        if ok.any():
+            body[ok] = texts[ok] + wd
+        pieces = np.where(parchg, pd + ld, np.where(linechg, ld, "")).astype(object)
+        pieces += body
+        starts = np.searchsorted(self.w_block, np.arange(nb))
+        ends = np.searchsorted(self.w_block, np.arange(1, nb + 1))
+        plist = pieces.tolist()
+        for bi in range(nb):
+            s, e = starts[bi], ends[bi]
+            cache[(bi, conf, wd, ld, pd)] = "".join(plist[s:e]) if e > s else ""
 
     def block_is_text_width(self, bi: int, text_width: float, mean_width: float | None = None,
                             rng: float = 0.3, conf: int = -1) -> bool:

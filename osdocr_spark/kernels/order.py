@@ -500,8 +500,12 @@ def topologic_order_context(doc: Document, block_idx: list[int],
     cache = _AttractionCache(doc, blocks)
     for s in graph.order:
         for t in graph.children[s]:
-            graph.cw[(s, t)] = calculate_block_attraction(doc, s, t, blocks, cache=cache)
-            graph.pw[(s, t)] = calculate_block_attraction(doc, s, t, blocks, child=False, cache=cache)
+            # the reference computes the edge twice (child=True/False), but
+            # ``child`` only gates its debug print (``:1496-1503``) — the
+            # score is child/parent-agnostic, so one evaluation serves both
+            a = calculate_block_attraction(doc, s, t, blocks, cache=cache)
+            graph.cw[(s, t)] = a
+            graph.pw[(s, t)] = a
     return graph
 
 

@@ -544,3 +544,38 @@ def test_categorize_vectorized_matches_loop():
             assert list(d_vec.b_end_text) == list(d_loop.b_end_text), (doc_id, kw)
             checked += 1
     assert checked == 480
+
+
+def test_block_to_text_batch_matches_loop():
+    """Exact A/B parity of the whole-doc batch text render against the
+    per-block loop (the loop runs whenever the word table is unsorted or
+    the page has <32 blocks) — every generator family incl. all five
+    adversarial layouts, at the flag conf (50), the emission conf with
+    body delimiters, and conf 0."""
+    import duckdb
+
+    from osdocr_spark.kernels.corpus import (generate_page,
+                                             generate_page_adversarial)
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    body_delims = {3: "\n\t", 4: "\n", 5: " "}
+    rows = duckdb.sql("select doc_id, text from "
+                      "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    checked = 0
+    for doc_id, text in rows[:40]:
+        for gen, kw in ((generate_page, {}), (generate_page, {"noisy": True}),
+                        (generate_page_adversarial, {}),
+                        (generate_page_adversarial, {"noisy": True})):
+            html = gen(doc_id, text.strip(), **kw)
+            d_batch = parse_hocr(html)
+            d_loop = parse_hocr(html)
+            d_loop._w_block_sorted = False  # forces the per-block loop path
+            for conf, delims in ((50, None), (10, body_delims), (0, None)):
+                for bi in range(d_batch.n_blocks()):
+                    a = d_batch.block_to_text(bi, conf=conf,
+                                              text_delimiters=delims)
+                    b = d_loop.block_to_text(bi, conf=conf,
+                                             text_delimiters=delims)
+                    assert a == b, (doc_id, kw, conf, bi)
+            checked += 1
+    assert checked == 160
