@@ -260,6 +260,9 @@ def prune_children_area(b: MBlock) -> MBlock:
     return b
 
 
+_BBF_VEC_MIN_BLOCKS = 64
+
+
 def block_bound_box_fix(blocks: list[MBlock], conf: int = 10,
                         max_rounds: int = 5) -> list[MBlock]:
     """Resolve block overlaps (``block_bound_box_fix``,
@@ -267,7 +270,16 @@ def block_bound_box_fix(blocks: list[MBlock], conf: int = 10,
     non-empty boxes overlapping ≥70% of either → merge (``join_trees`` auto);
     other intersections → shrink the box with the smaller intersection ratio
     (``remove_box_area``) and clamp its words.  Runs the pairwise rules to a
-    fixpoint (see module docstring)."""
+    fixpoint (see module docstring).
+
+    Block-heavy pages dispatch to ``_block_bound_box_fix_vec`` — same
+    rules, same pair order, but the next overlapping partner is found by a
+    vectorized scan instead of a Python walk over every j (a 292-block
+    crossed page has ~100 candidate pairs out of 42k; the walk itself was
+    the cost after the r5 prescreen).  The scalar loop below is the parity
+    baseline (A/B test in tests/test_fix_suite.py)."""
+    if len(blocks) >= _BBF_VEC_MIN_BLOCKS:
+        return _block_bound_box_fix_vec(blocks, conf, max_rounds)
     for _ in range(max_rounds):
         changed = False
         i = 0
@@ -324,6 +336,87 @@ def block_bound_box_fix(blocks: list[MBlock], conf: int = 10,
                         if list(map(int, new_box)) != target.box:
                             target.box = list(map(int, new_box))
                             prune_children_area(target)
+                            changed = True
+                j += 1
+            i += 1
+        if not changed:
+            break
+    return blocks
+
+
+def _block_bound_box_fix_vec(blocks: list[MBlock], conf: int,
+                             max_rounds: int) -> list[MBlock]:
+    """Vectorized partner scan for ``block_bound_box_fix``.  The row-box
+    matrix ``M`` mirrors ``blocks``; the next candidate j for the current
+    block is the first row ≥ j satisfying the exact inclusive-edge
+    intersects predicate.  Per-pair decisions re-read live boxes, so a
+    stale candidate (the current box shrank since the scan) harmlessly
+    no-ops — identical to the scalar walk re-testing every j.  Matrix
+    maintenance mirrors list mutation: row deletes on pops, a row update
+    when a later block shrinks.  Row i itself is never re-read once the
+    outer loop passes it (scans only look at j > i), so — matching the
+    scalar path's quirk — the ``a`` binding survives a ``blocks[i] = b``
+    replacement and row i needs no update."""
+    for _ in range(max_rounds):
+        changed = False
+        M = np.array([b.box for b in blocks], dtype=np.int64).reshape(-1, 4)
+        i = 0
+        while i < len(blocks):
+            a = blocks[i]
+            j = i + 1
+            while j < len(blocks):
+                ab = a.box
+                seg = M[j:]
+                xhit = (seg[:, 0] <= ab[1]) & (seg[:, 1] >= ab[0])
+                yhit = (((ab[2] <= seg[:, 2]) & (ab[3] >= seg[:, 2]))
+                        | ((seg[:, 2] <= ab[2]) & (seg[:, 3] >= ab[2])))
+                hit = np.nonzero(xhit & yhit)[0]
+                if len(hit) == 0:
+                    break
+                j += int(hit[0])
+                b = blocks[j]
+                na, nb_ = a.nparray(), b.nparray()
+                a_empty = a.is_empty(conf=conf)
+                b_empty = b.is_empty(conf=conf)
+                if b_empty and bool(g.is_inside(nb_, na)) and not b.aspect_delimiter(conf):
+                    blocks.pop(j)
+                    M = np.delete(M, j, axis=0)
+                    changed = True
+                    continue
+                if a_empty and bool(g.is_inside(na, nb_)) and not a.aspect_delimiter(conf):
+                    blocks.pop(i)
+                    M = np.delete(M, i, axis=0)
+                    changed = True
+                    i -= 1
+                    break
+                if bool(g.intersects(na, nb_)):
+                    inter = g.intersect_area_box(na, nb_)
+                    inter_area = max(int(g.area(inter)), 0)
+                    area_a = max(int(g.area(na)), 0)
+                    area_b = max(int(g.area(nb_)), 0)
+                    if not a_empty and not b_empty and area_a > 0 and inter_area / area_a >= 0.7:
+                        join_blocks(a, b, orientation="auto")
+                        blocks.pop(j)
+                        M = np.delete(M, j, axis=0)
+                        changed = True
+                        continue
+                    if not a_empty and not b_empty and area_b > 0 and inter_area / area_b >= 0.7:
+                        join_blocks(b, a, orientation="auto")
+                        blocks[i] = b
+                        blocks.pop(j)
+                        M = np.delete(M, j, axis=0)
+                        changed = True
+                        continue
+                    if inter_area > 0:
+                        ra = inter_area / area_a if area_a else 0
+                        rb = inter_area / area_b if area_b else 0
+                        target = a if ra < rb else b
+                        new_box = g.remove_box_area(target.nparray(), inter)
+                        if list(map(int, new_box)) != target.box:
+                            target.box = list(map(int, new_box))
+                            prune_children_area(target)
+                            if target is b:
+                                M[j] = b.box
                             changed = True
                 j += 1
             i += 1
@@ -482,8 +575,22 @@ def delimiters_fix(blocks: list[MBlock], conf: int = 10) -> list[MBlock]:
         j = 0
         while j < len(out):
             blk = out[j]
-            if blk is d or blk.type == "delimiter" or (
-                    blk.is_empty(conf=conf, only_text=True) and not blk.is_image(only_type=True)):
+            if blk is d or blk.type == "delimiter":
+                j += 1
+                continue
+            # geometric prescreen BEFORE the per-block word scans: both
+            # branches below require intersects (is_inside ⊆ intersects,
+            # closed edges), so a non-overlapping pair is a no-op and the
+            # is_empty/is_image scans can be skipped entirely (same exact
+            # inclusive-edge predicate as block_bound_box_fix's prescreen;
+            # d.box is re-read each pair because the shrink branch moves it)
+            db, kb = d.box, blk.box
+            if not ((db[0] <= kb[1] and db[1] >= kb[0])
+                    and ((db[2] <= kb[2] and db[3] >= kb[2])
+                         or (kb[2] <= db[2] and kb[3] >= db[2]))):
+                j += 1
+                continue
+            if blk.is_empty(conf=conf, only_text=True) and not blk.is_image(only_type=True):
                 j += 1
                 continue
             nb_ = blk.nparray()

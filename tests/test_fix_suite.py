@@ -156,3 +156,37 @@ def test_clean_doc_stable_on_clean_pages(docs):
     for d, t in docs[:60]:
         got = extract_html(str(d), generate_page(d, t), clean=True)["text"]
         assert got == re.sub(r"\s+", " ", t).strip(), f"doc {d}"
+
+
+def test_block_bound_box_fix_vec_matches_loop():
+    """Exact A/B parity of the vectorized-partner-scan overlap fix against
+    the scalar walk (boxes AND word assignments), over adversarial and
+    crossed pages — the only layouts that reach the >=64-block dispatch."""
+    import duckdb
+
+    from osdocr_spark.kernels import fix as F
+    from osdocr_spark.kernels.corpus import generate_page_adversarial
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    def snap(blocks):
+        return [(b.box, sorted((tuple(w.box), w.text, w.conf)
+                               for w in b.words)) for b in blocks]
+
+    rows = duckdb.sql("select doc_id, text from "
+                      "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    checked = 0
+    for doc_id, text in rows[:30]:
+        for noisy in (False, True):
+            d = parse_hocr(generate_page_adversarial(doc_id, text.strip(),
+                                                     noisy=noisy))
+            b_vec, b_loop = F.to_mutable(d), F.to_mutable(d)
+            v = F._block_bound_box_fix_vec(b_vec, 10, 5)
+            old = F._BBF_VEC_MIN_BLOCKS
+            F._BBF_VEC_MIN_BLOCKS = 10 ** 9  # force the scalar walk
+            try:
+                s = F.block_bound_box_fix(b_loop, 10, 5)
+            finally:
+                F._BBF_VEC_MIN_BLOCKS = old
+            assert snap(v) == snap(s), (doc_id, noisy)
+            checked += 1
+    assert checked == 60
