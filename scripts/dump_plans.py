@@ -51,6 +51,13 @@ NOTES = {
     "extract_journal_template": "One fused Arrow stage over the scan "
     "(template derivation + section dump per doc); explode to section "
     "rows is narrow — no shuffle beyond the input split.",
+    "extract_text_crossed": "Same fused single-Python-stage shape as the "
+    "flagship: defect injection + irregular synthesis + the §2.9 fix "
+    "suite all run inside the one Arrow stage — the robustness gauntlet "
+    "costs kernel CPU, never an extra exchange.",
+    "m_wav_meta": "Binary payload synthesis + WAV decode in one fused "
+    "Arrow stage over the scan; rejected records surface as "
+    "decode_ok=false rows in the same narrow pass (no filter-and-rejoin).",
 }
 
 MAX_LINES = 16
