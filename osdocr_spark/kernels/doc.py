@@ -78,6 +78,7 @@ class Document:
         self._line_cache: dict = {}
         self._words_cache: dict = {}
         self._vt_cache: dict = {}
+        self._vt_geom_cache: dict = {}
         self._mwh_cache: dict = {}
         self._w_len = None
         self._text_cache: dict = {}
@@ -401,6 +402,16 @@ class Document:
     def _vertical_text_impl(self, bi: int, conf: int) -> bool:
         if self.block_is_empty(bi, conf, only_text=True):
             return False
+        # the geometric vote below never reads conf (line_table and words_of
+        # are unfiltered, matching the reference) — memoize it per block so
+        # a second conf re-evaluates only the emptiness gate above
+        hit = self._vt_geom_cache.get(bi)
+        if hit is None:
+            hit = self._vertical_geom(bi)
+            self._vt_geom_cache[bi] = hit
+        return hit
+
+    def _vertical_geom(self, bi: int) -> bool:
         keys, lboxes, _ = self.line_table(bi)
         nlines = len(keys)
         if nlines == 0:
