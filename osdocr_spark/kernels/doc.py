@@ -407,9 +407,101 @@ class Document:
         # a second conf re-evaluates only the emptiness gate above
         hit = self._vt_geom_cache.get(bi)
         if hit is None:
+            if (self.n_blocks() >= _BATCH_METRICS_MIN_BLOCKS
+                    and "all" not in self._vt_built):
+                self._vt_built.add("all")
+                self.words_of(0)  # resolve _w_block_sorted
+                if self._w_block_sorted:
+                    self._fill_vertical_geom_all()
+                    hit = self._vt_geom_cache.get(bi)
+                    if hit is not None:
+                        return hit
             hit = self._vertical_geom(bi)
             self._vt_geom_cache[bi] = hit
         return hit
+
+    def _fill_vertical_geom_all(self) -> None:
+        """Batch the geometric vertical vote for EVERY block in one pass
+        (sorted word table): the unfiltered line hulls rebuild flat (same
+        ufunc.at math as ``_build_all_line_tables``), the tallest line /
+        widest word per block comes from a first-max lexsort (``np.argmax``
+        picks the first maximum — same tie-break), and the overlap votes
+        evaluate as whole-table masks + bincounts.  Identical booleans to
+        ``_vertical_geom`` (parity test in tests/test_kernels.py)."""
+        nb = self.n_blocks()
+        wb = self.w_block
+        cache = self._vt_geom_cache
+        if len(wb) == 0:
+            for bi in range(nb):
+                cache.setdefault(bi, False)
+            return
+        key = wb * 1_000_000_000_000 + self.w_par * 1_000_000 + self.w_line
+        uniq, inv = np.unique(key, return_inverse=True)
+        nl = len(uniq)
+        lbox = np.empty((nl, 4), dtype=np.int64)
+        for c, fn in ((g.L, np.minimum), (g.R, np.maximum),
+                      (g.T, np.minimum), (g.B, np.maximum)):
+            init = np.full(nl, np.iinfo(np.int64).max if fn is np.minimum
+                           else np.iinfo(np.int64).min)
+            fn.at(init, inv, self.w_box[:, c])
+            lbox[:, c] = init
+        lblk = uniq // 1_000_000_000_000
+        nlines = np.bincount(lblk, minlength=nb)
+        wcnt = np.bincount(wb, minlength=nb)
+        verdict = np.zeros(nb, dtype=bool)  # nlines == 0 → False
+
+        # single-word blocks: aspect test on the only word
+        w_of = np.full(nb, -1, dtype=np.int64)
+        w_of[wb] = np.arange(len(wb))
+        sw = np.nonzero((wcnt == 1) & (nlines == 1))[0]
+        if len(sw):
+            wbx = self.w_box[w_of[sw]]
+            verdict[sw] = g.height(wbx) >= g.width(wbx) * 2
+
+        # single-line multi-word blocks: x-overlap vote vs the widest word
+        sl = (nlines == 1) & (wcnt > 1)
+        if sl.any():
+            widths = g.width(self.w_box)
+            order = np.lexsort((np.arange(len(wb)), -widths, wb))
+            first = np.empty(len(wb), dtype=bool)
+            first[0] = True
+            np.not_equal(wb[order][1:], wb[order][:-1], out=first[1:])
+            widest_of = np.full(nb, -1, dtype=np.int64)
+            widest_of[wb[order][first]] = order[first]
+            t = self.w_box[widest_of[wb]]
+            wa = g.width(t) * 0.1
+            wbw = widths * 0.1
+            hits = (((t[:, 0] - wa <= self.w_box[:, 0])
+                     & (t[:, 1] + wa >= self.w_box[:, 1]))
+                    | ((self.w_box[:, 0] - wbw <= t[:, 0])
+                       & (self.w_box[:, 1] + wbw >= t[:, 1])))
+            overl = np.bincount(wb, weights=hits, minlength=nb) - 1
+            vote = np.divide(overl, wcnt, out=np.zeros(nb),
+                             where=wcnt > 0) >= 0.5
+            verdict[sl] = vote[sl]
+
+        # multi-line blocks: y-overlap vote vs the tallest line
+        ml = nlines >= 2
+        if ml.any():
+            lh = g.height(lbox)
+            order = np.lexsort((np.arange(nl), -lh, lblk))
+            first = np.empty(nl, dtype=bool)
+            first[0] = True
+            np.not_equal(lblk[order][1:], lblk[order][:-1], out=first[1:])
+            tallest_of = np.full(nb, -1, dtype=np.int64)
+            tallest_of[lblk[order][first]] = order[first]
+            t = lbox[tallest_of[lblk]]
+            ha = g.height(t) * 0.1
+            hb = lh * 0.1
+            hits = (((t[:, 2] - ha <= lbox[:, 2]) & (t[:, 3] + ha >= lbox[:, 3]))
+                    | ((lbox[:, 2] - hb <= t[:, 2]) & (lbox[:, 3] + hb >= t[:, 3])))
+            overl = np.bincount(lblk, weights=hits, minlength=nb) - 1
+            vote = np.divide(overl, nlines, out=np.zeros(nb),
+                             where=nlines > 0) >= 0.5
+            verdict[ml] = vote[ml]
+
+        for bi, vv in zip(range(nb), verdict.tolist()):
+            cache.setdefault(bi, vv)
 
     def _vertical_geom(self, bi: int) -> bool:
         keys, lboxes, _ = self.line_table(bi)

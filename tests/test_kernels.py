@@ -579,3 +579,30 @@ def test_block_to_text_batch_matches_loop():
                     assert a == b, (doc_id, kw, conf, bi)
             checked += 1
     assert checked == 160
+
+
+def test_vertical_geom_batch_matches_impl():
+    """Exact A/B parity of the whole-doc vertical-geometry batch fill
+    against the per-block vote, over regular and all five adversarial
+    families (the vertical/dense branches live there)."""
+    import duckdb
+
+    from osdocr_spark.kernels.corpus import (generate_page,
+                                             generate_page_adversarial)
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    rows = duckdb.sql("select doc_id, text from "
+                      "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    checked = 0
+    for doc_id, text in rows[:40]:
+        for gen, kw in ((generate_page, {}), (generate_page_adversarial, {}),
+                        (generate_page_adversarial, {"noisy": True})):
+            html = gen(doc_id, text.strip(), **kw)
+            d_batch = parse_hocr(html)
+            d_impl = parse_hocr(html)
+            d_batch._fill_vertical_geom_all()
+            for bi in range(d_batch.n_blocks()):
+                assert d_batch._vt_geom_cache[bi] == d_impl._vertical_geom(bi), \
+                    (doc_id, kw, bi)
+            checked += 1
+    assert checked == 120
