@@ -606,3 +606,36 @@ def test_vertical_geom_batch_matches_impl():
                     (doc_id, kw, bi)
             checked += 1
     assert checked == 120
+
+
+def test_next_top_block_vec_matches_loop():
+    """Exact A/B parity of the whole-array next_top_block against the
+    scalar walk — full sets, reversed and random candidate subsets, two
+    origins, over adversarial/noisy/multi-article pages (tie-break
+    coverage: the duplicate top-blocks at the head of the leftmost pool)."""
+    import random
+
+    import duckdb
+
+    from osdocr_spark.kernels import order as O
+    from osdocr_spark.kernels.corpus import generate_page_adversarial
+    from osdocr_spark.kernels.hocr import parse_hocr
+
+    rng = random.Random(7)
+    rows = duckdb.sql("select doc_id, text from "
+                      "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    checked = 0
+    for doc_id, text in rows[:20]:
+        for kw in ({}, {"noisy": True}, {"multi_article": True}):
+            d = parse_hocr(generate_page_adversarial(doc_id, text.strip(), **kw))
+            n = d.n_blocks()
+            idx = list(range(n))
+            cands = [idx, idx[::-1]] + [
+                rng.sample(idx, k=min(n, max(32, n // 2))) for _ in range(2)]
+            for cand in cands:
+                for origin in ((0.0, 0.0), (100.0, 50.0)):
+                    assert (O._next_top_block_vec(d, cand, origin)
+                            == O._next_top_block_loop(d, cand, origin)), \
+                        (doc_id, kw, origin, len(cand))
+                    checked += 1
+    assert checked == 480
